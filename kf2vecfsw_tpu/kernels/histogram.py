@@ -1,0 +1,168 @@
+"""Pallas TPU kernel: canonical k-mer histogram via dual one-hot MXU matmul.
+
+This replaces the hot loop of Jellyfish (`jellyfish count -C`,
+main.py:309-311). Scatter-adds are slow on TPU, so the histogram is computed
+as a matrix product instead: split each window code ``c`` into
+``hi = c >> 7`` and ``lo = c & 127``; then
+
+    hist[hi, lo] = sum_t one_hot(hi_t)[hi] * one_hot(lo_t)[lo]
+                 = (OH_hi @ OH_lo^T)[hi, lo]
+
+which is a (H_TILE x T) @ (T x 128) matmul per tile that runs on the MXU at
+full throughput (one-hots are built on the VPU in bf16; accumulation is
+exact in float32 for per-call bin counts < 2^24, which the caller guarantees
+by chunking the window stream).
+
+Window codes (forward/revcomp/min + validity masking) are computed in plain
+jitted XLA from the uint8 base stream: k shifted multiply-adds fuse into a
+single VPU pass, so only 1 byte/base crosses PCIe/ICI to the chip.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..io.fasta import INVALID
+
+TILE_T = 2048          # window positions per grid step
+MAX_H_TILE = 512       # hi-bins per grid step (VMEM: 512*2048 bf16 = 2 MiB)
+# max windows per pallas call so that any single f32 bin stays < 2^24
+MAX_WINDOWS_PER_CALL = 1 << 23
+# base-stream padding bucket (bounds recompilation count)
+PAD_QUANTUM = 1 << 20
+
+
+def _h_tiling(k: int) -> tuple[int, int]:
+    """(H_TILE, nH) covering ceil(4^k / 128) hi-bins."""
+    h_total = -(-(4**k) // 128)
+    h_tile = min(MAX_H_TILE, max(8, h_total))
+    n_h = -(-h_total // h_tile)
+    return h_tile, n_h
+
+
+CODE_ROWS = 8
+CODE_COLS = TILE_T // CODE_ROWS  # codes arrive as (8, 256) int32 blocks
+
+
+def _hist_kernel(codes_ref, out_ref, *, h_tile: int):
+    h = pl.program_id(0)
+    t = pl.program_id(1)
+    codes = codes_ref[:]                      # (CODE_ROWS, CODE_COLS) int32
+    hi = codes >> 7
+    lo = codes & 127
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (h_tile, CODE_COLS), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, CODE_COLS), 0)
+    acc = jnp.zeros((h_tile, 128), jnp.float32)
+    # Mosaic matmuls need a single contracting dim; unroll over code rows.
+    for r in range(CODE_ROWS):
+        oh_hi = (iota_hi == (hi[r : r + 1, :] - h * h_tile)).astype(jnp.bfloat16)
+        oh_lo = (iota_lo == lo[r : r + 1, :]).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            oh_hi,
+            oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(t != 0)
+    def _accum():
+        out_ref[:] = out_ref[:] + acc
+
+
+def histogram_pallas(codes: jax.Array, k: int, interpret: bool = False) -> jax.Array:
+    """Histogram of int32 codes over [0, nH*H_TILE*128); out-of-range codes
+    (the caller's trash value) are dropped. codes shape (nT, TILE_T)."""
+    h_tile, n_h = _h_tiling(k)
+    n_t = codes.shape[0] // CODE_ROWS
+    kernel = functools.partial(_hist_kernel, h_tile=h_tile)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_h * h_tile, 128), jnp.float32),
+        grid=(n_h, n_t),
+        in_specs=[
+            pl.BlockSpec((CODE_ROWS, CODE_COLS), lambda h, t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((h_tile, 128), lambda h, t: (h, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(codes)
+    return out
+
+
+def window_codes_xla(bases: jax.Array, k: int, trash: int) -> jax.Array:
+    """Canonical window codes (int32) from uint8 bases; invalid -> trash."""
+    b = bases.astype(jnp.int32)
+    n = b.shape[0] - k + 1
+    fwd = jnp.zeros((n,), jnp.int32)
+    rc = jnp.zeros((n,), jnp.int32)
+    valid = jnp.ones((n,), jnp.bool_)
+    for i in range(k):
+        d = b[i : i + n]
+        fwd = fwd + (d << (2 * (k - 1 - i)))
+        rc = rc + ((3 - d) << (2 * i))
+        valid = valid & (d < INVALID)
+    canon = jnp.minimum(fwd, rc)
+    return jnp.where(valid, canon, trash)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _count_jit_pallas(bases: jax.Array, k: int, interpret: bool) -> jax.Array:
+    h_tile, n_h = _h_tiling(k)
+    trash = n_h * h_tile * 128
+    codes = window_codes_xla(bases, k, trash)
+    n = codes.shape[0]
+    n_pad = -(-n // TILE_T) * TILE_T
+    codes = jnp.pad(codes, (0, n_pad - n), constant_values=trash)
+    return histogram_pallas(codes.reshape(-1, CODE_COLS), k, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _count_jit_scatter(bases: jax.Array, k: int) -> jax.Array:
+    """XLA scatter-add fallback for non-TPU backends."""
+    nbins = 4**k
+    codes = window_codes_xla(bases, k, nbins)
+    return jnp.zeros((nbins + 1,), jnp.int32).at[codes].add(1)[:-1]
+
+
+def _pad_bases(chunk: np.ndarray) -> np.ndarray:
+    n_pad = -(-max(chunk.size, PAD_QUANTUM) // PAD_QUANTUM) * PAD_QUANTUM
+    if n_pad == chunk.size:
+        return chunk
+    return np.pad(chunk, (0, n_pad - chunk.size), constant_values=INVALID)
+
+
+def count_canonical_device(codes_u8: np.ndarray, k: int) -> np.ndarray:
+    """Dense 4^k canonical histogram computed on the default JAX device."""
+    if k < 4:
+        # tiny histograms: not worth a kernel; keep exact semantics
+        from ..kmer.counter import count_canonical_numpy
+
+        return count_canonical_numpy(codes_u8, k)
+    use_pallas = jax.default_backend() == "tpu"
+    interpret = bool(os.environ.get("KF2VEC_PALLAS_INTERPRET"))
+    if interpret:
+        use_pallas = True
+    total = np.zeros(4**k, dtype=np.int64)
+    step = MAX_WINDOWS_PER_CALL
+    pos = 0
+    n = codes_u8.size
+    while pos < n:
+        chunk = _pad_bases(np.asarray(codes_u8[pos : pos + step], dtype=np.uint8))
+        if use_pallas:
+            hist = np.asarray(_count_jit_pallas(chunk, k, interpret))
+            total += hist.reshape(-1)[: 4**k].astype(np.int64)
+        else:
+            total += np.asarray(_count_jit_scatter(chunk, k)).astype(np.int64)
+        # overlap chunks by k-1 so no window is lost at the seam
+        pos += step - (k - 1) if pos + step < n else step
+    return total

@@ -1,0 +1,139 @@
+"""Canonical k-mer counting engine (in-repo replacement for Jellyfish).
+
+The reference shells out to ``jellyfish count -m k -C`` + ``jellyfish dump``
+per input file (main.py:309-319). Semantics reproduced here:
+
+- scan every record of the file; each length-k window containing only
+  A/C/G/T (case-insensitive) contributes one count to its *canonical* k-mer
+  (min of the k-mer and its reverse complement in A<C<G<T order),
+- windows containing any other character are skipped,
+- counts are reported over the sorted canonical vocabulary
+  (see kmer/vocab.py), zeros included.
+
+Three compute paths:
+- numpy: vectorized shift/accumulate + bincount (host fallback, ground truth
+  for tests),
+- TPU: canonical window codes computed in jitted XLA, histogram via the
+  Pallas dual-one-hot MXU kernel (kernels/histogram.py); multi-chip counting
+  shards the window stream over a mesh and psums the (small) histogram,
+- sparse (any k up to 31): np.unique over canonical codes, used by the FSW
+  ``get_kmers`` path which only needs the present k-mers (main.py:112-184).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fasta import INVALID
+from .vocab import MAX_DENSE_K, canonical_vocab_codes
+
+
+def window_codes_numpy(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Base-4 canonical window codes + validity mask (vectorized numpy).
+
+    Returns (canon, valid) of length L-k+1 (empty if L < k).
+    """
+    codes = np.asarray(codes)
+    n = codes.size - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+    b = codes.astype(np.int64)
+    fwd = np.zeros(n, dtype=np.int64)
+    rc = np.zeros(n, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
+    for i in range(k):
+        digit = b[i : i + n]
+        fwd += digit << (2 * (k - 1 - i))
+        rc += (3 - digit) << (2 * i)
+        valid &= digit < INVALID
+    # invalid digits (=4) corrupt fwd/rc but those windows are masked out
+    canon = np.minimum(fwd, rc)
+    return canon, valid
+
+
+def count_canonical_numpy(codes: np.ndarray, k: int) -> np.ndarray:
+    """Dense histogram over all 4^k codes; only canonical bins are nonzero."""
+    if k > MAX_DENSE_K:
+        raise ValueError(f"dense counting supports k <= {MAX_DENSE_K}")
+    canon, valid = window_codes_numpy(codes, k)
+    return np.bincount(canon[valid], minlength=4**k).astype(np.int64)
+
+
+def count_canonical_sparse(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(unique canonical codes ascending, counts) — works for any k <= 31."""
+    canon, valid = window_codes_numpy(codes, k)
+    return np.unique(canon[valid], return_counts=True)
+
+
+def concat_with_separators(seqs: list[np.ndarray], k: int) -> np.ndarray:
+    """Concatenate encoded records with k-1 INVALID separators so windows
+    never straddle record boundaries (matches per-record Jellyfish scans)."""
+    if not seqs:
+        return np.zeros(0, dtype=np.uint8)
+    sep = np.full(k - 1, INVALID, dtype=np.uint8)
+    parts: list[np.ndarray] = []
+    for i, s in enumerate(seqs):
+        if i:
+            parts.append(sep)
+        parts.append(np.asarray(s, dtype=np.uint8))
+    return np.concatenate(parts)
+
+
+@dataclass
+class KmerCounter:
+    """Counts canonical k-mers and folds to the vocab feature vector.
+
+    backend: 'auto' | 'numpy' | 'tpu'. 'auto' uses the device kernel when a
+    non-CPU JAX backend is available and the input is large enough to win.
+    """
+
+    k: int
+    backend: str = "auto"
+    # below this many bases the device round-trip is not worth it
+    min_device_bases: int = 200_000
+
+    def __post_init__(self):
+        self.vocab = canonical_vocab_codes(self.k) if self.k <= MAX_DENSE_K else None
+        self._device_fn = None
+
+    # -- backend resolution -------------------------------------------------
+    def _use_device(self, n_bases: int) -> bool:
+        if self.backend == "numpy" or self.k > MAX_DENSE_K:
+            return False
+        if os.environ.get("KF2VEC_FORCE_NUMPY"):
+            return False
+        if self.backend == "tpu":
+            return True
+        if n_bases < self.min_device_bases:
+            return False
+        try:
+            import jax
+
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
+
+    def _device_count(self, codes: np.ndarray) -> np.ndarray:
+        from ..kernels.histogram import count_canonical_device
+
+        return count_canonical_device(codes, self.k)
+
+    # -- public API ----------------------------------------------------------
+    def count(self, seqs: list[np.ndarray]) -> np.ndarray:
+        """Dense histogram over 4^k for a list of encoded records."""
+        codes = concat_with_separators(seqs, self.k)
+        if self._use_device(codes.size):
+            return self._device_count(codes)
+        return count_canonical_numpy(codes, self.k)
+
+    def feature_vector(self, seqs: list[np.ndarray]) -> np.ndarray:
+        """Counts in canonical-vocab order (the `.kf` column order), float64."""
+        hist = self.count(seqs)
+        return hist[self.vocab].astype(np.float64)
+
+    def sparse(self, seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        codes = concat_with_separators(seqs, self.k)
+        return count_canonical_sparse(codes, self.k)

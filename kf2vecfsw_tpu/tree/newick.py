@@ -1,0 +1,233 @@
+"""Host tree toolkit: newick parse/write and tree surgery.
+
+In-repo replacement for the reference's treeswift usage
+(main.py:27-28,190,203,418,430-436,444-500): parsing, writing, postorder
+traversal, edge scaling, diameter, and leaf-subset extraction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Node:
+    label: str | None = None
+    edge_length: float | None = None
+    children: list["Node"] = field(default_factory=list)
+    parent: "Node | None" = None
+
+    def is_leaf(self) -> bool:
+        return not self.children
+
+    def traverse_postorder(self):
+        stack: list[tuple[Node, bool]] = [(self, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if expanded:
+                yield node
+            else:
+                stack.append((node, True))
+                for c in reversed(node.children):
+                    stack.append((c, False))
+
+    def traverse_preorder(self):
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+
+def _fmt_len(x: float) -> str:
+    """Edge-length formatting: 12 significant digits, trailing zeros trimmed
+    (matches the clean integers in the reference's scaled-tree outputs,
+    toy_example train_tree_r100.0.nwk)."""
+    s = f"{x:.12g}"
+    return s
+
+
+class Tree:
+    def __init__(self, root: Node):
+        self.root = root
+
+    # -- traversal / queries --------------------------------------------------
+    def traverse_postorder(self):
+        return self.root.traverse_postorder()
+
+    def traverse_preorder(self):
+        return self.root.traverse_preorder()
+
+    def leaves(self) -> list[Node]:
+        return [n for n in self.traverse_postorder() if n.is_leaf()]
+
+    def leaf_labels(self) -> list[str]:
+        return [n.label for n in self.leaves()]
+
+    def num_nodes(self, internal: bool = True) -> int:
+        if internal:
+            return sum(1 for _ in self.traverse_postorder())
+        return sum(1 for n in self.traverse_postorder() if n.is_leaf())
+
+    # -- mutation -------------------------------------------------------------
+    def scale_edges(self, factor: float) -> None:
+        for n in self.traverse_postorder():
+            if n.edge_length is not None:
+                n.edge_length = n.edge_length * factor
+
+    def diameter(self) -> float:
+        """Maximum leaf-to-leaf path length (edge lengths; None treated as 0)."""
+        best = 0.0
+        down: dict[int, float] = {}
+        for n in self.traverse_postorder():
+            if n.is_leaf():
+                down[id(n)] = 0.0
+            else:
+                tops = sorted(
+                    (down[id(c)] + (c.edge_length or 0.0) for c in n.children),
+                    reverse=True,
+                )
+                down[id(n)] = tops[0]
+                if len(tops) > 1:
+                    best = max(best, tops[0] + tops[1])
+                else:
+                    best = max(best, tops[0])
+        return best
+
+    def extract_tree_with(self, labels: set[str]) -> "Tree":
+        """Copied subtree induced by the given leaf labels, with unifurcations
+        suppressed (edge lengths summed), like treeswift's extract_tree_with
+        used at main.py:497."""
+        keep = set(labels)
+
+        def build(node: Node) -> Node | None:
+            if node.is_leaf():
+                if node.label in keep:
+                    return Node(node.label, node.edge_length)
+                return None
+            kids = [b for b in (build(c) for c in node.children) if b is not None]
+            if not kids:
+                return None
+            if len(kids) == 1:
+                child = kids[0]
+                # suppress unifurcation: fold this node's edge into the child
+                if node.edge_length is not None or child.edge_length is not None:
+                    child.edge_length = (node.edge_length or 0.0) + (child.edge_length or 0.0)
+                return child
+            new = Node(node.label, node.edge_length, kids)
+            for c2 in kids:
+                c2.parent = new
+            return new
+
+        root = build(self.root)
+        if root is None:
+            root = Node()
+        # root edge length is conventionally dropped after extraction
+        return Tree(root)
+
+    # -- serialization --------------------------------------------------------
+    def write_newick(self) -> str:
+        parts: list[str] = []
+
+        def emit(node: Node) -> None:
+            if node.children:
+                parts.append("(")
+                for i, c in enumerate(node.children):
+                    if i:
+                        parts.append(",")
+                    emit(c)
+                parts.append(")")
+            if node.label is not None:
+                parts.append(node.label)
+            if node.edge_length is not None:
+                parts.append(":" + _fmt_len(node.edge_length))
+
+        emit(self.root)
+        parts.append(";")
+        return "".join(parts)
+
+    def write_tree_newick(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.write_newick())
+            f.write("\n")
+
+
+def parse_newick(text: str) -> Tree:
+    """Parse a newick string (labels, branch lengths, quoted labels,
+    [comments] skipped)."""
+    s = text.strip()
+    if s.endswith(";"):
+        s = s[:-1]
+    pos = 0
+    n = len(s)
+
+    def skip_ws() -> None:
+        nonlocal pos
+        while pos < n and (s[pos].isspace() or s[pos] == "["):
+            if s[pos] == "[":  # comment
+                end = s.find("]", pos)
+                pos = n if end < 0 else end + 1
+            else:
+                pos += 1
+
+    def parse_label() -> str | None:
+        nonlocal pos
+        skip_ws()
+        if pos < n and s[pos] in "'\"":
+            q = s[pos]
+            pos += 1
+            start = pos
+            while pos < n and s[pos] != q:
+                pos += 1
+            label = s[start:pos]
+            pos += 1
+            return label
+        start = pos
+        while pos < n and s[pos] not in ",():;[":
+            pos += 1
+        label = s[start:pos].strip()
+        return label or None
+
+    def parse_length() -> float | None:
+        nonlocal pos
+        skip_ws()
+        if pos < n and s[pos] == ":":
+            pos += 1
+            skip_ws()
+            start = pos
+            while pos < n and s[pos] not in ",()[;":
+                pos += 1
+            return float(s[start:pos].strip())
+        return None
+
+    def parse_node() -> Node:
+        nonlocal pos
+        skip_ws()
+        node = Node()
+        if pos < n and s[pos] == "(":
+            pos += 1
+            while True:
+                child = parse_node()
+                child.parent = node
+                node.children.append(child)
+                skip_ws()
+                if pos < n and s[pos] == ",":
+                    pos += 1
+                    continue
+                break
+            skip_ws()
+            if pos < n and s[pos] == ")":
+                pos += 1
+            else:
+                raise ValueError(f"unbalanced parentheses in newick at {pos}")
+        node.label = parse_label()
+        node.edge_length = parse_length()
+        return node
+
+    root = parse_node()
+    return Tree(root)
+
+
+def read_tree_newick(path: str) -> Tree:
+    with open(path) as f:
+        return parse_newick(f.read())
