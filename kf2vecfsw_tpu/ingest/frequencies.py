@@ -1,0 +1,83 @@
+"""get_frequencies: genome -> canonical k-mer frequency `.kf` vector.
+
+Replaces the reference's per-file Jellyfish subprocess pipeline
+(main.py:250-373): count canonical k-mers over every record of each
+FASTA/FASTQ file, optionally add a 0.5 pseudocount, normalize to sum 1
+unless raw counts are requested, and write one `.kf` line per file.
+
+The hot path runs in-process: the TPU Pallas histogram kernel (or numpy on
+CPU-only hosts) replaces `jellyfish count -C`; file IO and base encoding are
+overlapped with device compute via a reader thread pool.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..io.fasta import list_sequence_files, read_sequences, sample_name
+from ..io.kf import write_kf
+from ..kmer.counter import KmerCounter
+
+
+def _check_dir(path: str, what: str) -> None:
+    if not os.path.exists(path):
+        print(f"No such directory '{path}'", file=sys.stderr)
+        raise SystemExit(0)
+
+
+def compute_kf_vector(
+    counter: KmerCounter,
+    seqs: list[np.ndarray],
+    pseudocount: bool = False,
+    raw_cnt: bool = False,
+) -> np.ndarray:
+    """Counts -> .kf value vector (float64), matching main.py:323-342."""
+    vec = counter.feature_vector(seqs)
+    if pseudocount:
+        vec = vec + 0.5
+    if not raw_cnt:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vec = vec / vec.sum()
+    return vec
+
+
+def get_frequencies(
+    input_dir: str,
+    output_dir: str,
+    k: int = 7,
+    threads: int | None = None,
+    pseudocount: bool = False,
+    raw_cnt: bool = False,
+    backend: str = "auto",
+) -> list[str]:
+    """Process every sequence file in input_dir into output_dir/{sample}.kf.
+
+    Returns the list of written paths.
+    """
+    print(f"\n==> Starting k-mer counting for {input_dir}\n")
+    _check_dir(input_dir, "input")
+    _check_dir(output_dir, "output")
+
+    files = list_sequence_files(input_dir)
+    counter = KmerCounter(k, backend=backend)
+    threads = threads or min(8, os.cpu_count() or 1)
+    written: list[str] = []
+
+    def load(fname: str):
+        recs = read_sequences(os.path.join(input_dir, fname))
+        return fname, [r.codes for r in recs]
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        for fname, seqs in pool.map(load, files):
+            name = sample_name(fname)
+            vec = compute_kf_vector(counter, seqs, pseudocount, raw_cnt)
+            out_path = os.path.join(output_dir, f"{name}.kf")
+            write_kf(out_path, [(name, vec)])
+            written.append(out_path)
+
+    print(f"\n==> Done processing {input_dir}")
+    return written

@@ -1,0 +1,51 @@
+"""get_kmers: genome -> (N, k+1) float32 k-mer matrix for the FSW model.
+
+Reference behavior (main.py:112-184): per *.fna file, list present canonical
+k-mers (ATCG-only), encode bases with A=0, T=1, C=2, G=3, append the
+normalized frequency as column k+1, save {name}_k{k}.npy (float32).
+
+Row order here is ascending canonical code (the reference inherits
+Jellyfish's hash order); the FSW embedding is a multiset function, so row
+order is irrelevant downstream (models.py:60-68 consumes the rows as a
+weighted point set).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from ..io.fasta import read_sequences
+from ..kmer.counter import KmerCounter
+from ..kmer.vocab import FSW_BASE_MAP, codes_to_digit_matrix
+
+
+def kmer_matrix(counter: KmerCounter, seqs: list[np.ndarray]) -> np.ndarray | None:
+    codes, counts = counter.sparse(seqs)
+    if codes.size == 0:
+        return None
+    digits = codes_to_digit_matrix(codes, counter.k, FSW_BASE_MAP).astype(np.float32)
+    freqs = (counts / counts.sum()).astype(np.float32)
+    return np.column_stack((digits, freqs))
+
+
+def get_kmers(input_dir: str, output_dir: str, k: int = 7) -> list[str]:
+    os.makedirs(output_dir, exist_ok=True)
+    fasta_files = sorted(glob.glob(os.path.join(input_dir, "*.fna")))
+    counter = KmerCounter(k)
+    written: list[str] = []
+    for fna_path in fasta_files:
+        base_name = os.path.basename(fna_path).replace(".fna", "")
+        print(f"--- Processing {base_name} ---")
+        recs = read_sequences(fna_path)
+        matrix = kmer_matrix(counter, [r.codes for r in recs])
+        if matrix is None:
+            print(f"Warning: No valid ATCG k-mers found in {base_name}")
+            continue
+        out_path = os.path.join(output_dir, f"{base_name}_k{k}.npy")
+        np.save(out_path, matrix)
+        print(f"Saved: {out_path} (Shape: {matrix.shape})")
+        written.append(out_path)
+    return written

@@ -102,16 +102,19 @@ def _parse_fastq(data: bytes) -> list[tuple[str, bytes]]:
     return records
 
 
-def read_sequences(path: str) -> list[SeqRecord]:
-    """Read all records from a FASTA or FASTQ file (gzip not required by the
-    reference; formats per main.py:272)."""
+def read_sequences_raw(path: str) -> list[tuple[str, bytes]]:
+    """Read all (name, raw sequence bytes) records from a FASTA/FASTQ file."""
     with open(path, "rb") as f:
         data = f.read()
-    stripped_start = data.lstrip()[:1]
-    if stripped_start == b"@":
-        raw = _parse_fastq(data)
-    else:
-        raw = _parse_fasta(data)
+    if data.lstrip()[:1] == b"@":
+        return _parse_fastq(data)
+    return _parse_fasta(data)
+
+
+def read_sequences(path: str) -> list[SeqRecord]:
+    """Read all records from a FASTA or FASTQ file (gzip not required by the
+    reference; formats per main.py:272), encoded to base codes."""
+    raw = read_sequences_raw(path)
     native = _get_native()
     if native is not None:
         return [SeqRecord(name, native.encode(seq)) for name, seq in raw]

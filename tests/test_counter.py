@@ -1,0 +1,99 @@
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from kf2vecfsw_tpu.io.fasta import encode_bases
+from kf2vecfsw_tpu.kernels.histogram import count_canonical_device
+from kf2vecfsw_tpu.kmer.counter import (
+    KmerCounter,
+    concat_with_separators,
+    count_canonical_numpy,
+    count_canonical_sparse,
+    window_codes_numpy,
+)
+from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes, codes_to_strings
+
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def brute_force(seq: str, k: int) -> Counter:
+    c: Counter = Counter()
+    for i in range(len(seq) - k + 1):
+        w = seq[i : i + k].upper()
+        if any(ch not in "ACGT" for ch in w):
+            continue
+        rc = "".join(COMP[ch] for ch in reversed(w))
+        c[min(w, rc)] += 1
+    return c
+
+
+def hist_to_dict(hist: np.ndarray, k: int) -> dict:
+    vc = canonical_vocab_codes(k)
+    strs = codes_to_strings(vc, k)
+    return {s: int(hist[c]) for s, c in zip(strs, vc) if hist[c] > 0}
+
+
+@pytest.mark.parametrize("k", [2, 3, 5, 7, 8])
+def test_numpy_counter_vs_brute_force(k):
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGTNacgtn"), size=4000, p=[0.2, 0.2, 0.2, 0.2, 0.04, 0.04, 0.04, 0.04, 0.02, 0.02]))
+    codes = encode_bases(seq.encode())
+    hist = count_canonical_numpy(codes, k)
+    assert hist_to_dict(hist, k) == dict(brute_force(seq, k))
+
+
+def test_sparse_matches_dense():
+    rng = np.random.default_rng(1)
+    seq = rng.choice(list(b"ACGT"), size=3000).astype(np.uint8)
+    codes = encode_bases(seq.tobytes())
+    hist = count_canonical_numpy(codes, 7)
+    u, cnt = count_canonical_sparse(codes, 7)
+    nz = np.nonzero(hist)[0]
+    assert np.array_equal(u, nz)
+    assert np.array_equal(cnt, hist[nz])
+
+
+def test_separators_block_straddling_windows():
+    a = encode_bases(b"ACGTACG")
+    b = encode_bases(b"TTTTTTT")
+    joined = concat_with_separators([a, b], 4)
+    hist = count_canonical_numpy(joined, 4)
+    expected = count_canonical_numpy(a, 4) + count_canonical_numpy(b, 4)
+    assert np.array_equal(hist, expected)
+
+
+def test_short_sequence_and_all_invalid():
+    assert count_canonical_numpy(encode_bases(b"AC"), 7).sum() == 0
+    assert count_canonical_numpy(encode_bases(b"NNNNNNNNNN"), 7).sum() == 0
+    canon, valid = window_codes_numpy(encode_bases(b"A"), 3)
+    assert canon.size == 0 and valid.size == 0
+
+
+def test_device_scatter_path_matches_numpy():
+    # CPU backend in tests -> exercises the XLA scatter fallback + chunk seams
+    rng = np.random.default_rng(2)
+    seq = rng.choice(list(b"ACGTN"), size=100_000, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+    codes = encode_bases(seq.tobytes())
+    for k in (5, 7):
+        assert np.array_equal(count_canonical_device(codes, k), count_canonical_numpy(codes, k))
+
+
+def test_pallas_interpret_matches_numpy():
+    from kf2vecfsw_tpu.kernels import histogram as H
+
+    rng = np.random.default_rng(3)
+    seq = rng.choice(list(b"ACGTN"), size=30_000, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+    codes = encode_bases(seq.tobytes())
+    ref = count_canonical_numpy(codes, 7)
+    padded = H._pad_bases(codes)
+    got = np.asarray(H._count_jit_pallas(padded, 7, True)).reshape(-1)[: 4**7]
+    assert np.array_equal(got.astype(np.int64), ref)
+
+
+def test_kmer_counter_feature_vector():
+    counter = KmerCounter(7, backend="numpy")
+    seqs = [encode_bases(b"ACGTACGTACGTACGTACGT")]
+    vec = counter.feature_vector(seqs)
+    assert vec.shape == (8192,)
+    assert vec.sum() == 20 - 7 + 1

@@ -1,0 +1,98 @@
+import os
+
+import numpy as np
+
+from kf2vecfsw_tpu.tree import parse_newick, read_tree_newick, leaf_distance_matrix
+from kf2vecfsw_tpu.tree.cluster import assign_clades, sum_branch_clusters
+from kf2vecfsw_tpu.tree.distance import read_di_mtrx, reindex_matrix, write_di_mtrx
+
+
+def test_newick_roundtrip():
+    s = "((A:0.1,B:0.2)ab:0.5,(C:0.3,D:0.4):0.6);"
+    t = parse_newick(s)
+    assert t.leaf_labels() == ["A", "B", "C", "D"]
+    assert t.write_newick() == s.replace(";", ";")
+
+
+def test_quoted_labels_and_comments():
+    t = parse_newick("('sp one':1,[note]B:2);")
+    assert t.leaf_labels() == ["sp one", "B"]
+
+
+def test_distance_matrix_simple():
+    t = parse_newick("((A:1,B:2):3,C:4);")
+    labels, d = leaf_distance_matrix(t)
+    m = {l: i for i, l in enumerate(labels)}
+    assert d[m["A"], m["B"]] == 3
+    assert d[m["A"], m["C"]] == 8
+    assert d[m["B"], m["C"]] == 9
+    assert np.allclose(d, d.T) and np.all(np.diag(d) == 0)
+
+
+def test_diameter_and_scale():
+    t = parse_newick("((A:1,B:2):3,C:4);")
+    assert t.diameter() == 9
+    t.scale_edges(10)
+    assert t.diameter() == 90
+
+
+def test_extract_tree_with_suppresses_unifurcations():
+    t = parse_newick("(((A:1,B:1):1,C:1):1,D:1);")
+    sub = t.extract_tree_with({"A", "B"})
+    labels, d = leaf_distance_matrix(sub)
+    assert sorted(labels) == ["A", "B"]
+    assert d.max() == 2
+
+
+def test_sum_branch_toy_tree(toy):
+    t = read_tree_newick(os.path.join(toy, "train_tree_newick", "train_tree.nwk"))
+    for n in t.traverse_postorder():
+        if n.label is not None:
+            n.edge_length = 1.0
+    clusters = sum_branch_clusters(t, 4)
+    clades = dict(assign_clades(clusters))
+    golden = {}
+    with open(os.path.join(toy, "train_tree_newick", "train_tree.subtrees")) as f:
+        next(f)
+        for line in f:
+            g, c = line.split()
+            golden[g] = int(c)
+    assert clades == golden
+
+
+def test_distance_matrix_toy_goldens(toy):
+    t = read_tree_newick(os.path.join(toy, "train_tree_newick", "train_tree.nwk"))
+    # full tree golden (single-clade fixture covers the whole tree)
+    labels, d = leaf_distance_matrix(t)
+    rl, cl, v = read_di_mtrx(
+        os.path.join(toy, "train_tree_newick_single_clade", "train_tree_subtree_0.di_mtrx")
+    )
+    assert np.abs(d - reindex_matrix(rl, cl, v, labels)).max() == 0.0
+    # per-subtree goldens
+    for c, members in [
+        (0, {"G000830275", "G000402355"}),
+        (1, {"G000830295", "G001871415", "G001940645"}),
+    ]:
+        sub = t.extract_tree_with(members)
+        sl, sd = leaf_distance_matrix(sub)
+        rl, cl, v = read_di_mtrx(
+            os.path.join(toy, "train_tree_newick", f"train_tree_subtree_{c}.di_mtrx")
+        )
+        assert np.abs(sd - reindex_matrix(rl, cl, v, sl)).max() == 0.0
+
+
+def test_scaled_newick_matches_golden(toy):
+    t = read_tree_newick(os.path.join(toy, "train_tree_newick", "train_tree.nwk"))
+    t.scale_edges(100.0)
+    golden = open(os.path.join(toy, "train_tree_newick", "train_tree_r100.0.nwk")).read().strip()
+    assert t.write_newick() == golden
+
+
+def test_di_mtrx_roundtrip(tmp_path):
+    t = parse_newick("((A:0.15,B:0.25):0.3,C:0.4);")
+    labels, d = leaf_distance_matrix(t)
+    p = str(tmp_path / "x.di_mtrx")
+    write_di_mtrx(p, labels, d)
+    rl, cl, v = read_di_mtrx(p)
+    assert rl == labels and cl == labels
+    assert np.array_equal(v, d)
