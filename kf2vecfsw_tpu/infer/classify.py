@@ -1,0 +1,93 @@
+"""Query classification (reference: classify.py:57-129).
+
+Loads the classifier checkpoint, streams query `.kf` files in blocks, runs a
+jitted forward pass per block (padded to a fixed block shape so XLA compiles
+once), and appends rows to classes.out.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from .. import defaults
+from ..io.kf import float_repr, read_kf_files
+from ..models.mlp import classifier_apply
+from ..train.checkpoint import load_checkpoint
+from ..utils.logging import close_logger, make_run_logger
+from ..utils.timing import hms
+
+
+def classify_func(
+    features_folder: str,
+    feature_files: list[str],
+    model_dir: str,
+    seed: int,
+    output_dir: str,
+    block_size: int = defaults.DEFAULT_BLOCK_SZ,
+) -> str:
+    since = time.time()
+    log = make_run_logger(output_dir, "classification.log")
+    try:
+        log.info("\n==> Input arguments...\n")
+        log.info(f"Feature directory: {features_folder}")
+        log.info(f"Model: {model_dir}")
+        log.info(f"Seed: {seed}")
+        log.info("\n==> Building model...\n")
+
+        model_name, meta, params = load_checkpoint(
+            os.path.join(model_dir, "classifier_model.ckpt")
+        )
+        if model_name != "NeuralNetClassifierOnly":
+            raise ValueError(f"unexpected classifier model {model_name!r}")
+        input_size = int(meta["model_input_size"])
+        class_count = int(meta["model_class_count"])
+
+        forward = jax.jit(lambda p, x: classifier_apply(p, x))
+
+        classes_path = os.path.join(output_dir, "classes.out")
+        header = ["genome", "top_class", "top_p"] + [str(x) for x in range(class_count)]
+        with open(classes_path, "w") as f:
+            f.write("\t".join(header) + "\n")
+            for z in range(0, len(feature_files), block_size):
+                chunk = feature_files[z : z + block_size]
+                names, mat = read_kf_files(chunk, dtype=np.float32)
+                if mat.shape[1] != input_size:
+                    raise ValueError(
+                        f"feature width {mat.shape[1]} != model input {input_size}"
+                    )
+                x = mat * np.float32(defaults.FEATURES_SCALER)
+                probs = np.exp(np.asarray(forward(params, x)))
+                top = probs.argmax(axis=1)
+                for i, name in enumerate(names):
+                    row = [
+                        name,
+                        float_repr(float(top[i])),
+                        float_repr(float(probs[i, top[i]])),
+                    ] + [float_repr(float(p)) for p in probs[i]]
+                    f.write("\t".join(row) + "\n")
+
+        log.info("\n==> Classification Completed!\n")
+        hrs, m, s = hms(time.time() - since)
+        log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+        return classes_path
+    finally:
+        close_logger(log)
+
+
+def read_classes_out(path: str) -> list[tuple[str, int]]:
+    """classes.out -> [(genome, top_class)]."""
+    out = []
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        i_genome = header.index("genome")
+        i_top = header.index("top_class")
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) <= max(i_genome, i_top):
+                continue
+            out.append((parts[i_genome], int(float(parts[i_top]))))
+    return out

@@ -1,0 +1,176 @@
+"""Query -> backbone placement distance matrices (reference: query.py:53-200).
+
+For each predicted subtree: load that subtree's distance model and backbone
+embeddings, embed the queries in blocks, and stream the squared+clamped
+query-to-backbone distances into apples_input_di_mtrx_subtree_{c}.csv plus
+the raw embeddings into embedding_subtree_{c}.emb.
+
+Fixes the reference defect at query.py:118-126 / utils.py:363 (checkpoints
+always rebuilt as dense NeuralNet): dispatch on the stored model_name, so FSW
+subtree models are queryable — their inputs are the {name}_k{k}.npy matrices
+from get_kmers rather than `.kf` vectors.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from .. import defaults
+from ..io.kf import read_kf_files
+from ..models.fsw import fsw_dist_embed_apply
+from ..models.mlp import dist_embed_apply
+from ..ops.pairwise import cdist_exact_blocked, squared_clamped
+from ..train.checkpoint import load_checkpoint
+from ..train.distance import f32_str, pad_point_sets
+from ..utils.logging import close_logger, make_run_logger
+from ..utils.timing import hms
+
+
+def read_remap(path: str | None, log) -> dict[str, str] | None:
+    if not path:
+        return None
+    try:
+        remap: dict[str, str] = {}
+        with open(path) as f:
+            header = f.readline().rstrip("\n").split("\t")
+            i_l = header.index("label")
+            i_n = header.index("new_label")
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) > max(i_l, i_n):
+                    remap[parts[i_l]] = parts[i_n]
+        log.info(f"Remap loaded: {len(remap)} entries")
+        return remap
+    except Exception as e:  # reference warns and proceeds (query.py:102-104)
+        log.warning(f"Could not read remap file {path}: {e}")
+        return None
+
+
+def read_embeddings_csv(path: str) -> tuple[list[str], np.ndarray]:
+    names: list[str] = []
+    rows: list[np.ndarray] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            names.append(parts[0])
+            rows.append(np.array(parts[1:], dtype=np.float32))
+    return names, np.vstack(rows)
+
+
+def query_func(
+    features_folder: str,
+    feature_files: list[str],
+    model_dir: str,
+    classes_dir: str,
+    seed: int,
+    output_dir: str,
+    remap_path: str | None = None,
+    block_size: int = defaults.DEFAULT_BLOCK_SZ,
+) -> list[str]:
+    from .classify import read_classes_out
+
+    since = time.time()
+    log = make_run_logger(output_dir, "query_run.log")
+    try:
+        log.info("\n==> Input arguments...\n")
+        log.info(f"Query directory: {features_folder}")
+        log.info(f"Model directory: {model_dir}")
+        log.info(f"Class information: {classes_dir}")
+        log.info(f"Seed: {seed}")
+
+        log.info("\n==> Querying...\n")
+        assignments = read_classes_out(os.path.join(classes_dir, "classes.out"))
+        present = {
+            os.path.basename(p).split(".kf")[0] for p in feature_files
+        } | {
+            _npy_stem(os.path.basename(p)) for p in feature_files
+        }
+        assignments = [(g, c) for g, c in assignments if g in present]
+        clades = sorted({c for _, c in assignments})
+        log.info(f"Total subtrees to query: {len(clades)}")
+
+        remap = read_remap(remap_path, log)
+        written: list[str] = []
+
+        for c in clades:
+            contig_ids = [g for g, cl in assignments if cl == c]
+            if not contig_ids:
+                continue
+            log.info(f"\n==> Working on subtree {c} ({len(contig_ids)} contigs)...\n")
+
+            model_name, meta, params = load_checkpoint(
+                os.path.join(model_dir, f"model_subtree_{c}.ckpt")
+            )
+            emb_names, emb = read_embeddings_csv(
+                os.path.join(model_dir, f"embeddings_subtree_{c}.csv")
+            )
+            emb_dev = jax.numpy.asarray(emb)
+
+            if model_name == "NeuralNetFSW":
+                k = int(meta.get("fsw_k", meta["model_input_size"] - 1))
+                forward = jax.jit(lambda p, x: fsw_dist_embed_apply(p, x))
+                loader = _npy_block_loader(features_folder, k)
+            else:
+                forward = jax.jit(lambda p, x: dist_embed_apply(p, x))
+                loader = _kf_block_loader(features_folder)
+
+            dist_path = os.path.join(output_dir, f"apples_input_di_mtrx_subtree_{c}.csv")
+            emb_path = os.path.join(output_dir, f"embedding_subtree_{c}.emb")
+            with open(dist_path, "w") as f_dist, open(emb_path, "w") as f_emb:
+                f_dist.write("\t" + "\t".join(emb_names) + "\n")
+                for z in range(0, len(contig_ids), block_size):
+                    block_ids = contig_ids[z : z + block_size]
+                    names, x = loader(block_ids)
+                    outputs = np.asarray(forward(params, x))
+                    d = np.asarray(
+                        squared_clamped(
+                            cdist_exact_blocked(jax.numpy.asarray(outputs), emb_dev)
+                        )
+                    )
+                    labels = [remap.get(n, n) for n in names] if remap else names
+                    for lbl, drow in zip(labels, d):
+                        f_dist.write(lbl + "\t" + "\t".join(f32_str(v) for v in drow) + "\n")
+                    for lbl, erow in zip(labels, outputs):
+                        f_emb.write(lbl + "\t" + "\t".join(f32_str(v) for v in erow) + "\n")
+            written += [dist_path, emb_path]
+            log.info(f"Wrote distance matrix: {dist_path}")
+            log.info(f"Wrote embeddings: {emb_path}")
+            log.info(f"\n==> Computation is completed for subtree {c}!\n")
+            hrs, m, s = hms(time.time() - since)
+            log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+
+        log.info("\n==> Computation Completed!\n")
+        hrs, m, s = hms(time.time() - since)
+        log.info(f"Total time: {hrs:02d}:{m:02d}:{s:02d}")
+        return written
+    finally:
+        close_logger(log)
+
+
+def _kf_block_loader(folder: str):
+    def load(ids: list[str]):
+        paths = [os.path.join(folder, f"{g}.kf") for g in ids]
+        names, mat = read_kf_files(paths, dtype=np.float32)
+        return names, mat * np.float32(defaults.FEATURES_SCALER)
+
+    return load
+
+
+def _npy_block_loader(folder: str, k: int):
+    def load(ids: list[str]):
+        mats = [np.load(os.path.join(folder, f"{g}_k{k}.npy")).astype(np.float32) for g in ids]
+        return ids, pad_point_sets(mats)
+
+    return load
+
+
+def _npy_stem(basename: str) -> str:
+    from ..train.distance import _strip_npy_suffix
+
+    return _strip_npy_suffix(basename)

@@ -1,0 +1,144 @@
+"""Fourier Sliced-Wasserstein (FSW) embedding and distance model, in JAX.
+
+TPU-native reimplementation of the reference's NeuralNetFSW
+(models.py:51-68), which consumes the (N, k+1) k-mer matrices from
+get_kmers: a learnable (4, base_dim) base lookup maps each k-mer to a point
+in R^{k*base_dim}; the weighted point multiset (points, frequencies) is
+embedded by an FSW layer; a 2-layer MLP maps the embedding to the output.
+
+The external ``fswlib`` is not vendored by the reference, so the FSW layer is
+implemented here from the Fourier Sliced-Wasserstein definition with the
+constructor semantics used at models.py:58 (d_in = k*base_dim, d_out,
+frequency_init="even", minimize_slice_coherence=True):
+
+For output m with learnable slice direction v_m and frequency xi_m, project
+the points p_j = <v_m, x_j>, sort them, and take the cosine-series
+coefficient of the quantile function Q_m of the weighted 1-D distribution:
+
+    E_m = integral_0^1 Q_m(t) * sqrt(2) cos(pi xi_m t) dt
+        = sum_i p_(i) * sqrt(2) w_(i) cos(pi xi_m cbar_i) sinc(xi_m w_(i) / 2)
+
+where cbar_i is the midpoint of the i-th cumulative-weight step. The sinc
+form is smooth in xi (no special case at xi=0) and exactly insensitive to
+zero-weight (padding) points — the padding contract relied on by the
+reference's pad_collate (train_model_set.py:83-86).
+
+Properties verified by tests: permutation invariance, zero-weight padding
+insensitivity, weight normalization invariance, and distance sensitivity.
+
+frequency_init="even": xi_m = m (an orthonormal cosine basis on [0,1]).
+minimize_slice_coherence: slices initialized as stacked random orthonormal
+blocks (QR of Gaussian), giving zero coherence within each block of d_in
+directions — slices remain learnable parameters as in fswlib.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from .mlp import _linear_init
+
+_SQRT2 = float(np.sqrt(2.0))
+
+
+def init_fsw_params(key, d_in: int, d_out: int):
+    """Slices (d_out, d_in) with blockwise-orthonormal init + even freqs."""
+    keys = jax.random.split(key, -(-d_out // d_in) + 1)
+    blocks = []
+    remaining = d_out
+    for i in range(-(-d_out // d_in)):
+        g = jax.random.normal(keys[i], (d_in, d_in))
+        q, _ = jnp.linalg.qr(g)
+        blocks.append(q[: min(remaining, d_in)])
+        remaining -= d_in
+    slices = jnp.concatenate(blocks, axis=0)[:d_out]
+    freqs = jnp.arange(d_out, dtype=jnp.float32)
+    return {"slices": slices.astype(jnp.float32), "freqs": freqs}
+
+
+def fsw_embed(fsw_params, points, weights, slice_chunk: int = 128):
+    """FSW embedding of one weighted point set.
+
+    points: (N, d_in), weights: (N,) nonnegative (zeros = padding).
+    Returns (d_out,). Memory is bounded by chunking over slices
+    (the analogue of fswlib's max_parallel_slices, models.py:64).
+    """
+    slices = fsw_params["slices"]
+    freqs = fsw_params["freqs"]
+    d_out = slices.shape[0]
+    total = jnp.maximum(weights.sum(), 1e-30)
+    wn = weights / total
+
+    def chunk_fn(args):
+        v, xi = args  # (C, d_in), (C,)
+        p = points @ v.T  # (N, C)
+        order = jnp.argsort(p, axis=0)
+        ps = jnp.take_along_axis(p, order, axis=0)
+        ws = wn[order]  # (N, C)
+        cs = jnp.cumsum(ws, axis=0)
+        cbar = cs - ws / 2.0
+        delta = _SQRT2 * ws * jnp.cos(jnp.pi * xi[None, :] * cbar) * jnp.sinc(
+            xi[None, :] * ws / 2.0
+        )
+        return jnp.sum(ps * delta, axis=0)  # (C,)
+
+    if d_out <= slice_chunk:
+        return chunk_fn((slices, freqs))
+    n_chunks = -(-d_out // slice_chunk)
+    pad = n_chunks * slice_chunk - d_out
+    sl = jnp.pad(slices, ((0, pad), (0, 0)))
+    fr = jnp.pad(freqs, (0, pad))
+    out = jax.lax.map(
+        chunk_fn,
+        (sl.reshape(n_chunks, slice_chunk, -1), fr.reshape(n_chunks, slice_chunk)),
+    )
+    return out.reshape(-1)[:d_out]
+
+
+def init_fsw_dist_embed(
+    key, k: int, base_dim: int, fswout_dim: int, hidden_size: int, embedding_size: int
+):
+    """NeuralNetFSW-equivalent parameter pytree (models.py:52-58)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "lookup": jax.random.normal(k1, (4, base_dim), jnp.float32),
+        "fsw": init_fsw_params(k2, k * base_dim, fswout_dim),
+        "fc1": _linear_init(k3, fswout_dim, hidden_size),
+        "fc2": _linear_init(k4, hidden_size, embedding_size),
+    }
+
+
+def fsw_dist_embed_apply(params, X, model_axis: str | None = None, slice_chunk: int = 128):
+    """Forward pass (models.py:60-68). X: (B, N, k+1) — integer-coded bases
+    in the first k columns (A=0,T=1,C=2,G=3), frequency weight in the last.
+    Zero-padded rows carry weight 0 and do not affect the embedding."""
+    kmers = X[..., :-1].astype(jnp.int32)
+    weights = X[..., -1]
+    B, N, k = kmers.shape
+    base_embed = params["lookup"][kmers].reshape(B, N, -1)
+
+    embed_one = functools.partial(fsw_embed, params["fsw"], slice_chunk=slice_chunk)
+    fsw_out = jax.vmap(embed_one)(base_embed, weights)  # (B, d_out)
+
+    h = fsw_out @ params["fc1"]["w"]
+    if model_axis is not None:
+        # slices (and thus fsw features) sharded over the model axis:
+        # fc1 is row-parallel
+        h = jax.lax.psum(h, model_axis)
+    h = jax.nn.relu(h + params["fc1"]["b"])
+    return h @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
+def fsw_dist_embed_specs(model_axis: str | None):
+    m = model_axis
+    return {
+        "lookup": P(),
+        "fsw": {"slices": P(m, None), "freqs": P(m)},
+        "fc1": {"w": P(m, None), "b": P()},
+        "fc2": {"w": P(), "b": P()},
+    }

@@ -1,0 +1,231 @@
+"""Classifier training engine (reference: train_classifier_model.py).
+
+Differences from the reference, by design (TPU-first):
+- the whole backbone feature matrix is device-resident; an epoch is ONE
+  jitted call (lax.scan over batches, batch sharded over the mesh 'data'
+  axis) instead of a Python DataLoader loop,
+- the best-loss parameters are kept as an immutable device pytree and
+  written once at the end (plus the same classifier_model.ckpt artifact),
+- Adam/LR-schedule/loss semantics match the reference exactly
+  (train/schedule.py, ops/losses.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+from .. import defaults
+from ..io.kf import float_repr, read_kf
+from ..kmer.vocab import low_complexity_mask
+from ..models.mlp import classifier_apply, classifier_specs, count_params, init_classifier
+from ..parallel.mesh import MODEL_AXIS, make_mesh, shard_params
+from ..utils.logging import close_logger, make_run_logger, timestamp
+from ..utils.timing import hms
+from .checkpoint import load_checkpoint, save_checkpoint
+from .schedule import step_lr
+from .step import ClassifierEpochRunner, adam_init
+
+VOCAB_SIZES_TO_K = {32: 3, 136: 4, 512: 5, 2080: 6, 8192: 7, 32896: 8, 131072: 9}
+
+
+def load_kf_matrix(paths: list[str], threads: int = 8) -> tuple[list[str], np.ndarray]:
+    """Parallel .kf ingest (replaces mp.Pool(my_read_csv),
+    train_classifier_model.py:144-147). Returns (names, float32 matrix)."""
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        results = list(pool.map(read_kf, paths))
+    names: list[str] = []
+    mats = []
+    for n, m in results:
+        names.extend(n)
+        mats.append(m)
+    return names, np.vstack(mats).astype(np.float32)
+
+
+def read_clade_map(subtrees_path: str) -> dict[str, int]:
+    from ..ingest.tree_ops import read_subtrees
+
+    return dict(read_subtrees(subtrees_path))
+
+
+def write_classes_table(
+    path: str,
+    genomes: list[str],
+    probs: np.ndarray,
+    class_count: int,
+    true_class: np.ndarray | None = None,
+) -> None:
+    """classes.out / backbone_classes.out writer (TSV; top_class rendered as a
+    float to match the reference's np.hstack of floats,
+    train_classifier_model.py:496-506, classify.py:96-124)."""
+    top_class = probs.argmax(axis=1)
+    top_p = probs.max(axis=1)
+    with open(path, "w") as f:
+        cols = ["genome"]
+        if true_class is not None:
+            cols.append("true_class")
+        cols += ["top_class", "top_p"] + [str(x) for x in range(class_count)]
+        f.write("\t".join(cols) + "\n")
+        for i, g in enumerate(genomes):
+            row = [g]
+            if true_class is not None:
+                row.append(str(int(true_class[i])))
+            row.append(float_repr(float(top_class[i])))
+            row.append(float_repr(float(top_p[i])))
+            row.extend(float_repr(float(p)) for p in probs[i])
+            f.write("\t".join(row) + "\n")
+
+
+def train_classifier_func(
+    features_folder: str,
+    feature_files: list[str],
+    clades_info: str,
+    num_epochs: int,
+    hidden_size: int,
+    batch_size: int,
+    lr: float,
+    lr_min: float,
+    lr_decay: float,
+    seed: int,
+    custom_mask: bool,
+    model_filepath: str,
+    mesh=None,
+    log_every: int = 1,
+):
+    since = time.time()
+    log = make_run_logger(model_filepath, f"train_classifier_{timestamp()}.log")
+    try:
+        return _train(
+            log, since, features_folder, feature_files, clades_info, num_epochs,
+            hidden_size, batch_size, lr, lr_min, lr_decay, seed, custom_mask,
+            model_filepath, mesh, log_every,
+        )
+    finally:
+        close_logger(log)
+
+
+def _train(
+    log, since, features_folder, feature_files, clades_info, num_epochs,
+    hidden_size, batch_size, lr0, lr_min, lr_decay, seed, custom_mask,
+    model_filepath, mesh, log_every,
+):
+    log.info("\n==> Input arguments...\n")
+    log.info(f"Feature directory: {features_folder}")
+    log.info(f"Clades information: {clades_info}")
+
+    log.info("\n==> Parameters...\n")
+    log.info(f"Backend: {jax.default_backend()} ({len(jax.devices())} devices)")
+    log.info(f"Hidden Size fc1: {hidden_size}")
+    log.info(f"Total Epochs: {num_epochs}")
+    log.info(f"Batch Size: {batch_size}")
+    log.info(f"Learning Rate: {lr0:g}")
+    log.info(f"Learning Rate Min: {lr_min:g}")
+    log.info(f"Learning Rate Decay: {lr_decay:g}")
+    log.info(f"Random Seed: {seed}")
+    log.info(f"Masking: {custom_mask}")
+
+    log.info("\n==> Preparing Data...\n")
+    if not feature_files:
+        feature_files = sorted(glob.glob(os.path.join(features_folder, "*.kf")))
+    names, feats = load_kf_matrix(feature_files)
+    feats = feats * np.float32(defaults.FEATURES_SCALER)
+    input_size = feats.shape[1]
+    log.info(f"Dimensions of feature matrix rows: {feats.shape[0]}, cols: {input_size}")
+
+    if custom_mask:
+        k = VOCAB_SIZES_TO_K.get(input_size)
+        if k is None:
+            raise ValueError(f"cannot infer k from input size {input_size} for -mask")
+        keep = low_complexity_mask(k)
+        feats = feats[:, keep]
+        input_size = feats.shape[1]
+        log.info(
+            f"Dimensions of feature matrix after masking rows: {feats.shape[0]}, "
+            f"cols: {input_size}"
+        )
+
+    clade_map = read_clade_map(clades_info)
+    labels = np.array([clade_map[n] for n in names], dtype=np.int32)
+    class_count = int(np.unique(labels).size)
+    n_items = len(names)
+    log.info(f"Number of Train Samples: {n_items}")
+
+    log.info("\n==> Building model...\n")
+    log.info(f"Number of Classes: {class_count}")
+
+    mesh = mesh or make_mesh()
+    specs = classifier_specs(MODEL_AXIS)
+    key = jax.random.PRNGKey(seed)
+    params = shard_params(init_classifier(key, input_size, hidden_size, class_count), specs, mesh)
+    opt = adam_init(params)
+    log.info(f"Total parameters: {count_params(params)}")
+    log.info(f"Trainable parameters: {count_params(params)}")
+
+    runner = ClassifierEpochRunner(mesh, classifier_apply, specs, n_items, batch_size)
+    feats_dev = jax.device_put(feats)
+    labels_dev = jax.device_put(labels)
+
+    hrs, m, s = hms(time.time() - since)
+    log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+    log.info("\n==> Training model...\n")
+
+    lowest_loss = float("inf")
+    highest_acc = -1.0
+    best_epoch = -1
+    best_params = params
+    n_batches = runner.n_batches
+
+    for epoch in range(num_epochs):
+        lr = step_lr(epoch, lr0, lr_min, lr_decay)
+        params, opt, loss, acc = runner.run_epoch(
+            params, opt, feats_dev, labels_dev, jax.random.fold_in(key, epoch), lr
+        )
+        loss = float(loss)
+        acc = float(acc)
+        if loss < lowest_loss:
+            lowest_loss = loss
+            highest_acc = acc
+            best_epoch = epoch
+            best_params = params
+        if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
+            hrs, m, s = hms(time.time() - since)
+            log.info(
+                f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
+                f"Train loss: {loss:.20f}, {acc:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
+            )
+            log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{lr:.20f}")
+
+    log.info(
+        f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest_loss:.20f}, "
+        f"Highest accuracy: {highest_acc:.20f}"
+    )
+
+    meta = {
+        "model_input_size": input_size,
+        "model_hidden_size_fc1": hidden_size,
+        "model_class_count": class_count,
+        "best_epoch": best_epoch,
+        "lowest_loss": lowest_loss,
+    }
+    ckpt_path = os.path.join(model_filepath, "classifier_model.ckpt")
+    save_checkpoint(ckpt_path, "NeuralNetClassifierOnly", meta, best_params)
+
+    # full-backbone forward with the best params -> backbone_classes.out
+    # (train_classifier_model.py:470-506)
+    model_name, meta2, loaded = load_checkpoint(ckpt_path)
+    assert model_name == "NeuralNetClassifierOnly"
+    log_probs = jax.jit(lambda p, x: classifier_apply(p, x))(loaded, feats)
+    probs = np.exp(np.asarray(log_probs))
+    out = os.path.join(model_filepath, "backbone_classes.out")
+    write_classes_table(out, names, probs, class_count, true_class=labels)
+    log.info(f"Dimensions of class output rows:{len(names)} cols:{4 + class_count}")
+
+    log.info("\n==> Training Completed!\n")
+    hrs, m, s = hms(time.time() - since)
+    log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+    return ckpt_path

@@ -1,0 +1,369 @@
+"""Per-subtree distance-embedding trainer (reference: train_model_set.py).
+
+One model per clade: embeddings are trained so pairwise L2 distances
+approximate sqrt(patristic distance) under inverse-distance weighting
+(losses.py:13-49). Supports the dense `.kf` path (NeuralNet) and the FSW
+`.npy` path (NeuralNetFSW), a held-out test set, periodic snapshot saving,
+and exports the APPLES-compatible embeddings/distortions CSVs.
+
+TPU-first: the clade's features + true-distance matrix live on device; each
+epoch is one jitted lax.scan sharded over the mesh (see train/step.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from .. import defaults
+from ..io.kf import read_kf
+from ..models.fsw import fsw_dist_embed_apply, fsw_dist_embed_specs, init_fsw_dist_embed
+from ..models.mlp import count_params, dist_embed_apply, dist_embed_specs, init_dist_embed
+from ..ops.pairwise import cdist_exact_blocked, squared_clamped
+from ..parallel.mesh import MODEL_AXIS, make_mesh, shard_params
+from ..utils.logging import close_logger, make_run_logger, timestamp
+from ..utils.timing import hms
+from .checkpoint import save_checkpoint
+from .classifier import load_kf_matrix
+from .schedule import step_lr
+from .step import DistanceEpochRunner, adam_init
+
+F32 = np.float32
+
+
+def f32_str(v) -> str:
+    return str(np.float32(v))
+
+
+def read_test_ids(path: str | None) -> list[str]:
+    """-test_set file: one filename per line, extension stripped
+    (utils.py:440-454)."""
+    if path is None:
+        return []
+    with open(path) as f:
+        return [os.path.splitext(line.strip())[0] for line in f if line.strip()]
+
+
+def load_subtree_dist(true_dist_dir: str, clade: int, order: list[str]) -> np.ndarray:
+    """Find *_subtree_{c}.di_mtrx and reindex to feature order
+    (train_model_set.py:260-268 + utils.py sort_df)."""
+    from ..tree.distance import read_di_mtrx, reindex_matrix
+
+    candidates = [
+        f for f in os.listdir(true_dist_dir) if f"_subtree_{clade}.di_mtrx" in f
+    ]
+    if not candidates:
+        raise FileNotFoundError(
+            f"no *_subtree_{clade}.di_mtrx under {true_dist_dir}"
+        )
+    rl, cl, v = read_di_mtrx(os.path.join(true_dist_dir, candidates[0]))
+    return reindex_matrix(rl, cl, v, order)
+
+
+def pad_point_sets(mats: list[np.ndarray]) -> np.ndarray:
+    """Zero-pad variable-length (N_i, k+1) FSW matrices to (n, Nmax, k+1);
+    padded rows carry weight 0 (pad_collate, train_model_set.py:72-90)."""
+    n_max = max(m.shape[0] for m in mats)
+    width = mats[0].shape[1]
+    out = np.zeros((len(mats), n_max, width), dtype=np.float32)
+    for i, m in enumerate(mats):
+        out[i, : m.shape[0]] = m
+    return out
+
+
+def export_embeddings(
+    apply_fn, params, feats, backbone_names: list[str], out_dir: str, clade, log
+) -> np.ndarray:
+    """Embed the full backbone; write distortions_subtree_{c}.csv (squared,
+    <1e-6 clamped to 0) and embeddings_subtree_{c}.csv
+    (train_model_set.py:602-643). Returns the embeddings."""
+    outputs = np.asarray(jax.jit(lambda p, x: apply_fn(p, x))(params, feats))
+    dist = np.asarray(
+        squared_clamped(cdist_exact_blocked(jax.numpy.asarray(outputs), jax.numpy.asarray(outputs)))
+    )
+    dis_path = os.path.join(out_dir, f"distortions_subtree_{clade}.csv")
+    with open(dis_path, "w") as f:
+        f.write("\t" + "\t".join(backbone_names) + "\n")
+        for name, row in zip(backbone_names, dist):
+            f.write(name + "\t" + "\t".join(f32_str(v) for v in row) + "\n")
+    emb_path = os.path.join(out_dir, f"embeddings_subtree_{clade}.csv")
+    with open(emb_path, "w") as f:
+        for name, row in zip(backbone_names, outputs):
+            f.write(name + "\t" + "\t".join(f32_str(v) for v in row) + "\n")
+    if log:
+        log.info(
+            f"Dimensions of distortion matrix rows:{len(backbone_names)} "
+            f"cols:{len(backbone_names) + 1}"
+        )
+        log.info(
+            f"Dimensions of embedding output rows:{len(backbone_names)} "
+            f"cols:{outputs.shape[1] + 1}"
+        )
+    return outputs
+
+
+def train_model_set_func(
+    features_folder: str,
+    feature_files: list[str],
+    clades_info: str,
+    true_dist_dir: str,
+    num_epochs: int,
+    hidden_size: int,
+    embedding_size: int,
+    batch_size: int,
+    lr0: float,
+    lr_min: float,
+    lr_decay: float,
+    clades_to_train: list[int] | None,
+    seed: int,
+    model_filepath: str,
+    test_ids_path: str | None = None,
+    save_interval: int | None = None,
+    use_fsw: bool = True,
+    base_dim: int = defaults.FSW_BASE_DIM,
+    fswout_dim: int = defaults.FSW_OUT_DIM,
+    mesh=None,
+    log_every: int = 1,
+) -> list[str]:
+    since = time.time()
+    clade_tag = (
+        "_".join(str(c) for c in clades_to_train) if clades_to_train is not None else "all"
+    )
+    log = make_run_logger(
+        model_filepath, f"train_model_{timestamp()}_clade_{clade_tag}.log"
+    )
+    try:
+        return _train_all(
+            log, since, features_folder, feature_files, clades_info, true_dist_dir,
+            num_epochs, hidden_size, embedding_size, batch_size, lr0, lr_min,
+            lr_decay, clades_to_train, seed, model_filepath, test_ids_path,
+            save_interval, use_fsw, base_dim, fswout_dim, mesh, log_every,
+        )
+    finally:
+        close_logger(log)
+
+
+def _train_all(
+    log, since, features_folder, feature_files, clades_info, true_dist_dir,
+    num_epochs, hidden_size, embedding_size, batch_size, lr0, lr_min, lr_decay,
+    clades_to_train, seed, model_filepath, test_ids_path, save_interval,
+    use_fsw, base_dim, fswout_dim, mesh, log_every,
+):
+    from ..ingest.tree_ops import read_subtrees
+
+    log.info("\n==> Input arguments...\n")
+    log.info(f"Feature directory: {features_folder}")
+    log.info(f"Clades information: {clades_info}")
+    log.info(f"Ground truth directory: {true_dist_dir}")
+    log.info(f"Test set: {test_ids_path if test_ids_path else 'None'}")
+
+    log.info("\n==> Parameters...\n")
+    log.info(f"Backend: {jax.default_backend()} ({len(jax.devices())} devices)")
+    log.info(f"Hidden Size fc1: {hidden_size}")
+    log.info(f"Embedding Size: {embedding_size}")
+    log.info(f"Total Epochs: {num_epochs}")
+    log.info(f"Batch Size: {batch_size}")
+    log.info(f"Learning Rate: {lr0:g}")
+    log.info(f"Learning Rate Min: {lr_min:g}")
+    log.info(f"Learning Rate Decay: {lr_decay:g}")
+    log.info(f"Clades to train: {clade_list_str(clades_to_train)}")
+    log.info(f"Random Seed: {seed}")
+    log.info(f"Model save interval: {save_interval if save_interval is not None else 'unspecified'}")
+    log.info(f"Model family: {'NeuralNetFSW' if use_fsw else 'NeuralNet'}")
+
+    log.info("\n==> Subtree training...\n")
+    rows = read_subtrees(clades_info)
+    clade_order: list[int] = []
+    for _, c in rows:
+        if c not in clade_order:
+            clade_order.append(c)
+    if clades_to_train is not None:
+        clade_order = list(clades_to_train)
+    log.info(f"Number of Classes: {len(clade_order)}")
+
+    mesh = mesh or make_mesh()
+    test_ids = read_test_ids(test_ids_path)
+    saved: list[str] = []
+
+    # available sample names: from the feature file listing
+    if use_fsw:
+        suffix = None  # resolved per clade after reading one file
+        avail = {
+            _strip_npy_suffix(os.path.basename(f)): f for f in feature_files
+        }
+    else:
+        avail = {os.path.basename(f)[: -len(".kf")]: f for f in feature_files}
+
+    for c in clade_order:
+        log.info(f"\n==> Working on subtree {c}...\n")
+        log.info("\n==> Preparing Data...\n")
+        clade_genomes = [g for g, cl in rows if cl == c]
+        backbone_names = [g for g in avail if g in set(clade_genomes)]
+
+        if use_fsw:
+            mats = [np.load(avail[g]).astype(np.float32) for g in backbone_names]
+            input_size = mats[0].shape[-1]
+            feats = pad_point_sets(mats)
+        else:
+            backbone_paths = [avail[g] for g in backbone_names]
+            read_names, feats = load_kf_matrix(backbone_paths)
+            assert read_names == backbone_names or set(read_names) == set(backbone_names)
+            backbone_names = read_names
+            feats = feats * F32(defaults.FEATURES_SCALER)
+            input_size = feats.shape[1]
+        n_items = len(backbone_names)
+        log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
+
+        dist = load_subtree_dist(true_dist_dir, c, backbone_names).astype(np.float32)
+        log.info(
+            f"Dimensions of true distance matrix rows: {dist.shape[0]}, cols: {dist.shape[1]}"
+        )
+
+        train_idx = [i for i, g in enumerate(backbone_names) if g not in test_ids]
+        test_idx = [i for i, g in enumerate(backbone_names) if g in test_ids]
+        log.info(f"Number of Train Samples: {len(train_idx)}")
+        if test_idx:
+            log.info(f"Number of Test Samples: {len(test_idx)}")
+
+        log.info("\n==> Building model...\n")
+        key = jax.random.PRNGKey(seed)
+        if use_fsw:
+            model_name = "NeuralNetFSW"
+            k = input_size - 1
+            params = init_fsw_dist_embed(key, k, base_dim, fswout_dim, hidden_size, embedding_size)
+            specs = fsw_dist_embed_specs(MODEL_AXIS)
+            apply_fn = fsw_dist_embed_apply
+            meta = {
+                "model_input_size": input_size,
+                "model_hidden_size_fc1": hidden_size,
+                "model_embedding_size": embedding_size,
+                "fsw_k": k,
+                "fsw_base_dim": base_dim,
+                "fsw_out_dim": fswout_dim,
+            }
+        else:
+            model_name = "NeuralNet"
+            params = init_dist_embed(key, input_size, hidden_size, embedding_size)
+            specs = dist_embed_specs(MODEL_AXIS)
+            apply_fn = dist_embed_apply
+            meta = {
+                "model_input_size": input_size,
+                "model_hidden_size_fc1": hidden_size,
+                "model_embedding_size": embedding_size,
+            }
+        params = shard_params(params, specs, mesh)
+        opt = adam_init(params)
+        log.info(f"Total parameters: {count_params(params)}")
+        log.info(f"Trainable parameters: {count_params(params)}")
+
+        # train on the train partition only: remap via index subset
+        train_map = np.array(train_idx, dtype=np.int32)
+        feats_dev = jax.device_put(feats)
+        dist_dev = jax.device_put(dist)
+        runner = DistanceEpochRunner(
+            mesh, apply_fn, specs, len(train_idx), batch_size
+        )
+
+        hrs, m, s = hms(time.time() - since)
+        log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+        log.info("\n==> Training model...\n")
+
+        # the runner permutes [0, n_train); map through train_map inside the
+        # gather by pre-subsetting features/dist for the train partition
+        feats_train = feats_dev[train_map] if len(train_idx) != n_items else feats_dev
+        dist_train = (
+            dist_dev[np.ix_(train_idx, train_idx)] if len(train_idx) != n_items else dist_dev
+        )
+
+        lowest = float("inf")
+        best_epoch = -1
+        best_params = params
+        n_batches = runner.n_batches
+        ckpt_path = os.path.join(model_filepath, f"model_subtree_{c}.ckpt")
+
+        for epoch in range(num_epochs):
+            lr = step_lr(epoch, lr0, lr_min, lr_decay)
+            params, opt, loss = runner.run_epoch(
+                params, opt, feats_train, dist_train, jax.random.fold_in(key, epoch), lr
+            )
+            loss = float(loss)
+            if loss < lowest:
+                lowest = loss
+                best_epoch = epoch
+                best_params = params
+            if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
+                hrs, m, s = hms(time.time() - since)
+                log.info(
+                    f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
+                    f"Train loss: {loss:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
+                )
+                if test_idx:
+                    test_loss = runner.eval_loss(params, feats_dev, dist_dev, test_idx)
+                    log.info(
+                        f"Epoch [{epoch + 1}/{num_epochs}], Test loss: {test_loss:.20f}"
+                    )
+                log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{lr:.20f}")
+            if save_interval is not None and (
+                epoch % save_interval == 0 or epoch == num_epochs - 1
+            ):
+                subdir = os.path.join(model_filepath, f"model_epoch_{epoch + 1}")
+                os.makedirs(subdir, exist_ok=True)
+                save_checkpoint(
+                    os.path.join(subdir, f"model_subtree_{c}.ckpt"), model_name, meta, params
+                )
+
+        log.info(
+            f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest:.20f}"
+        )
+        save_checkpoint(
+            ckpt_path, model_name, {**meta, "best_epoch": best_epoch, "lowest_loss": lowest},
+            best_params,
+        )
+        saved.append(ckpt_path)
+
+        # final export with the best params (train_model_set.py:602-643)
+        export_apply = lambda p, x: apply_fn(p, x, model_axis=None)  # noqa: E731
+        export_embeddings(export_apply, jax.device_get(best_params), feats, backbone_names, model_filepath, c, log)
+
+        # interval snapshots also get embeddings (train_model_set.py:646-683)
+        if save_interval is not None:
+            from .checkpoint import load_checkpoint
+
+            for sub in sorted(os.listdir(model_filepath)):
+                subdir = os.path.join(model_filepath, sub)
+                if not (sub.startswith("model_epoch_") and os.path.isdir(subdir)):
+                    continue
+                snap = os.path.join(subdir, f"model_subtree_{c}.ckpt")
+                if not os.path.exists(snap):
+                    continue
+                log.info(f"Computing embeddings for interval: {subdir}")
+                _, _, snap_params = load_checkpoint(snap)
+                export_embeddings(
+                    export_apply, snap_params, feats, backbone_names, subdir, c, None
+                )
+
+        log.info(f"\n==> Training for subtree {c} completed!\n")
+        hrs, m, s = hms(time.time() - since)
+        log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+
+    log.info("\n==> Training Completed!\n")
+    hrs, m, s = hms(time.time() - since)
+    log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+    return saved
+
+
+def clade_list_str(clades) -> str:
+    return " ".join(str(c) for c in clades) if clades is not None else "all"
+
+
+def _strip_npy_suffix(basename: str) -> str:
+    """{name}_k{k}.npy -> name"""
+    stem = basename[: -len(".npy")] if basename.endswith(".npy") else basename
+    if "_k" in stem:
+        head, _, tail = stem.rpartition("_k")
+        if tail.isdigit():
+            return head
+    return stem

@@ -4,10 +4,15 @@ so data-parallel sharding paths are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the environment's sitecustomize may pin the TPU plugin platform; override
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kf2vecfsw_tpu.models.mlp import (
+    classifier_apply,
+    classifier_specs,
+    dist_embed_apply,
+    dist_embed_specs,
+    init_classifier,
+    init_dist_embed,
+)
+from kf2vecfsw_tpu.ops.losses import weighted_sqrt_mse
+from kf2vecfsw_tpu.ops.pairwise import pairwise_l2_exact
+from kf2vecfsw_tpu.parallel.mesh import MODEL_AXIS, make_mesh, shard_params
+from kf2vecfsw_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from kf2vecfsw_tpu.train.step import ClassifierEpochRunner, DistanceEpochRunner, adam_init
+
+
+def _toy_problem(key, n=10, v=32, h=16, e=8):
+    params = init_dist_embed(key, v, h, e)
+    feats = jax.random.normal(key, (n, v))
+    d = jnp.abs(jax.random.normal(key, (n, n)))
+    d = d + d.T
+    d = d.at[jnp.diag_indices(n)].set(0)
+    return params, feats, d
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (8, 1), (4, 2)])
+def test_distance_runner_mesh_invariance(mesh_shape):
+    mesh = make_mesh(*mesh_shape)
+    key = jax.random.PRNGKey(0)
+    params, feats, dist = _toy_problem(key)
+    specs = dist_embed_specs(MODEL_AXIS)
+    params = shard_params(params, specs, mesh)
+    opt = adam_init(params)
+    runner = DistanceEpochRunner(mesh, dist_embed_apply, specs, 10, 4)
+    losses = []
+    for e in range(10):
+        params, opt, loss = runner.run_epoch(
+            params, opt, feats, dist, jax.random.fold_in(key, e), 1e-3
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # losses must agree across mesh shapes up to float reduction-order noise
+    # (sharding-invariant training semantics)
+    if not hasattr(test_distance_runner_mesh_invariance, "_ref"):
+        test_distance_runner_mesh_invariance._ref = losses
+    else:
+        assert np.allclose(losses, test_distance_runner_mesh_invariance._ref, rtol=1e-2)
+
+
+def test_single_batch_epoch_matches_manual_loss():
+    # with B >= N there is one batch; the epoch loss must equal the direct
+    # reference loss formula on the permuted batch
+    mesh = make_mesh(1, 1)
+    key = jax.random.PRNGKey(1)
+    params, feats, dist = _toy_problem(key, n=6)
+    specs = dist_embed_specs(MODEL_AXIS)
+    runner = DistanceEpochRunner(mesh, dist_embed_apply, specs, 6, 16)
+    opt = adam_init(params)
+    ekey = jax.random.fold_in(key, 0)
+    _, _, loss = runner.run_epoch(params, opt, feats, dist, ekey, 0.0)
+    perm = np.asarray(jax.random.permutation(ekey, 6))
+    emb = dist_embed_apply(params, feats[perm])
+    manual = float(
+        weighted_sqrt_mse(pairwise_l2_exact(emb), dist[np.ix_(perm, perm)])
+    )
+    assert np.isclose(float(loss), manual, rtol=1e-5)
+
+
+def test_classifier_runner_learns():
+    mesh = make_mesh(8, 1)
+    key = jax.random.PRNGKey(2)
+    n, v, h, c = 12, 32, 16, 3
+    specs = classifier_specs(MODEL_AXIS)
+    params = shard_params(init_classifier(key, v, h, c), specs, mesh)
+    opt = adam_init(params)
+    feats = jax.random.normal(key, (n, v))
+    labels = jnp.array(np.arange(n) % c)
+    runner = ClassifierEpochRunner(mesh, classifier_apply, specs, n, 4)
+    acc = 0.0
+    for e in range(60):
+        params, opt, loss, acc = runner.run_epoch(
+            params, opt, feats, labels, jax.random.fold_in(key, e), 1e-2
+        )
+    assert float(acc) == 1.0
+
+
+def test_eval_loss_partition():
+    mesh = make_mesh(1, 1)
+    key = jax.random.PRNGKey(3)
+    params, feats, dist = _toy_problem(key, n=8)
+    specs = dist_embed_specs(MODEL_AXIS)
+    runner = DistanceEpochRunner(mesh, dist_embed_apply, specs, 8, 4)
+    ev = runner.eval_loss(params, feats, dist, [0, 2, 5])
+    emb = dist_embed_apply(params, feats[jnp.array([0, 2, 5])])
+    manual = float(
+        weighted_sqrt_mse(pairwise_l2_exact(emb), dist[np.ix_([0, 2, 5], [0, 2, 5])])
+    )
+    assert np.isclose(ev, manual, rtol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    key = jax.random.PRNGKey(4)
+    params = init_dist_embed(key, 16, 8, 4)
+    path = str(tmp_path / "model_subtree_0.ckpt")
+    save_checkpoint(path, "NeuralNet", {"model_input_size": 16, "model_hidden_size_fc1": 8, "model_embedding_size": 4}, params)
+    name, meta, loaded = load_checkpoint(path)
+    assert name == "NeuralNet"
+    assert meta["model_input_size"] == 16
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_checkpoint_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    path = str(tmp_path / "ref.ckpt")
+    sd = {
+        "fc1.weight": torch.randn(8, 16),
+        "fc1.bias": torch.randn(8),
+        "fc2.weight": torch.randn(4, 8),
+        "fc2.bias": torch.randn(4),
+    }
+    torch.save(
+        {
+            "model_name": "NeuralNet",
+            "model_input_size": 16,
+            "model_hidden_size_fc1": 8,
+            "model_embedding_size": 4,
+            "state_dict": sd,
+        },
+        path,
+    )
+    name, meta, params = load_checkpoint(path)
+    assert name == "NeuralNet"
+    assert params["fc1"]["w"].shape == (16, 8)
+    # forward parity vs torch under imported weights (SURVEY.md §7 gate 3)
+    x = np.random.default_rng(0).normal(size=(3, 16)).astype(np.float32)
+    ours = np.asarray(dist_embed_apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x)))
+    with torch.no_grad():
+        h = torch.relu(torch.from_numpy(x) @ sd["fc1.weight"].T + sd["fc1.bias"])
+        ref = (h @ sd["fc2.weight"].T + sd["fc2.bias"]).numpy()
+    assert np.allclose(ours, ref, atol=1e-5)
