@@ -1,0 +1,113 @@
+"""Headline benchmark: distance-model training throughput (steps/s/chip).
+
+Apples-to-apples with the reference's only quantitative trace
+(BASELINE.md: train_model_set at V=8192, H=2048, E=1024, batch 16 runs at
+~8.5 s/epoch where one epoch is ONE step of batch 16 -> 0.1176 steps/s on
+the author's CPU; 18,877,440 params, matching this config exactly).
+
+We run the same model/batch config through the jitted, device-resident
+epoch runner and report steps/s on one chip. Secondary metrics (also
+emitted in the same JSON line): k-mer vectorization throughput at k=7
+(genomes/s on 5 Mb synthetic genomes) for the Pallas counting kernel vs the
+reference-style CPU path.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_STEPS_PER_S = 1.0 / 8.5  # reference toy log: 8.5 s per 1-step epoch
+
+
+def bench_train_steps() -> float:
+    from kf2vecfsw_tpu.models.mlp import dist_embed_apply, dist_embed_specs, init_dist_embed
+    from kf2vecfsw_tpu.parallel.mesh import MODEL_AXIS, make_mesh, shard_params
+    from kf2vecfsw_tpu.train.step import DistanceEpochRunner, adam_init
+
+    mesh = make_mesh(1, 1)
+    key = jax.random.PRNGKey(0)
+    n_items, v, h, e, batch = 128, 8192, 2048, 1024, 16  # 8 steps/epoch
+    specs = dist_embed_specs(MODEL_AXIS)
+    params = shard_params(init_dist_embed(key, v, h, e), specs, mesh)
+    opt = adam_init(params)
+    feats = jax.random.normal(key, (n_items, v), jnp.float32)
+    dist = jnp.abs(jax.random.normal(key, (n_items, n_items)))
+    dist = dist + dist.T
+    dist = dist.at[jnp.diag_indices(n_items)].set(0.0)
+    runner = DistanceEpochRunner(mesh, dist_embed_apply, specs, n_items, batch)
+
+    # warmup / compile
+    for i in range(3):
+        params, opt, loss = runner.run_epoch(params, opt, feats, dist, jax.random.fold_in(key, i), 1e-5)
+    jax.block_until_ready(loss)
+
+    n_epochs = 30
+    t0 = time.perf_counter()
+    for i in range(n_epochs):
+        params, opt, loss = runner.run_epoch(params, opt, feats, dist, jax.random.fold_in(key, 100 + i), 1e-5)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    steps = n_epochs * runner.n_batches
+    return steps / dt
+
+
+def bench_vectorization() -> dict:
+    from kf2vecfsw_tpu.io.fasta import encode_bases
+    from kf2vecfsw_tpu.kernels.histogram import count_canonical_device
+    from kf2vecfsw_tpu.kmer.counter import count_canonical_numpy
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes
+
+    rng = np.random.default_rng(0)
+    genome_mb = 5
+    seq = rng.choice(
+        np.frombuffer(b"ACGTN", dtype=np.uint8),
+        size=genome_mb * 1_000_000,
+        p=[0.24, 0.26, 0.25, 0.24, 0.01],
+    )
+    codes = encode_bases(seq.tobytes())
+    vocab = canonical_vocab_codes(7)
+
+    def device_once():
+        hist = count_canonical_device(codes, 7)
+        vec = hist[vocab].astype(np.float64)
+        return vec / vec.sum()
+
+    device_once()  # compile
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        device_once()
+    dt_dev = (time.perf_counter() - t0) / n
+
+    t0 = time.perf_counter()
+    hist = count_canonical_numpy(codes, 7)
+    vec = hist[vocab].astype(np.float64)
+    vec = vec / vec.sum()
+    dt_cpu = time.perf_counter() - t0
+
+    return {
+        "vectorization_genomes_per_s": round(1.0 / dt_dev, 3),
+        "vectorization_genome_mb": genome_mb,
+        "vectorization_cpu_genomes_per_s": round(1.0 / dt_cpu, 3),
+    }
+
+
+def main():
+    steps_per_s = bench_train_steps()
+    extra = bench_vectorization()
+    result = {
+        "metric": "train_steps_per_s_per_chip",
+        "value": round(steps_per_s, 3),
+        "unit": "steps/s (V=8192,H=2048,E=1024,B=16)",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 1),
+        **extra,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
