@@ -1,0 +1,105 @@
+"""ctypes loader for the native ingest library (fastio.cpp).
+
+Builds libkf2vec_io.so on demand with g++ when missing; every caller has a
+pure-numpy fallback, so absence of a compiler is never fatal.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libkf2vec_io.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class NativeIO:
+    def __init__(self, cdll: ctypes.CDLL):
+        self._c = cdll
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._c.kf2vec_encode.argtypes = [u8p, ctypes.c_int64, u8p]
+        self._c.kf2vec_count_canonical.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, i64p, ctypes.c_int,
+        ]
+        self._c.kf2vec_parse_fasta.argtypes = [
+            u8p, ctypes.c_int64, u8p, i64p, i64p, ctypes.c_int64,
+        ]
+        self._c.kf2vec_parse_fasta.restype = ctypes.c_int64
+
+    @staticmethod
+    def _u8(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    @staticmethod
+    def _i64(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def encode(self, seq: bytes | np.ndarray) -> np.ndarray:
+        src = np.frombuffer(seq, dtype=np.uint8) if isinstance(seq, (bytes, bytearray)) else np.ascontiguousarray(seq, dtype=np.uint8)
+        out = np.empty(src.size, dtype=np.uint8)
+        self._c.kf2vec_encode(self._u8(src), src.size, self._u8(out))
+        return out
+
+    def count_canonical(self, codes: np.ndarray, k: int, n_threads: int | None = None) -> np.ndarray:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        hist = np.zeros(4**k, dtype=np.int64)
+        threads = n_threads or min(16, os.cpu_count() or 1)
+        self._c.kf2vec_count_canonical(
+            self._u8(codes), codes.size, k, self._i64(hist), threads
+        )
+        return hist
+
+    def parse_fasta_encoded(self, data: bytes) -> tuple[np.ndarray, np.ndarray]:
+        """-> (encoded concat codes, record offsets len nrec+1)."""
+        src = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(src.size, dtype=np.uint8)
+        out_len = np.zeros(1, dtype=np.int64)
+        max_rec = max(1024, data.count(b">") + 1)
+        offs = np.zeros(max_rec + 1, dtype=np.int64)
+        nrec = self._c.kf2vec_parse_fasta(
+            self._u8(src), src.size, self._u8(out), self._i64(out_len),
+            self._i64(offs), max_rec,
+        )
+        if nrec < 0:
+            raise RuntimeError("record capacity exceeded")
+        return out[: out_len[0]], offs[: nrec + 1]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libkf2vec_io.so"],
+            cwd=_HERE,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def load() -> NativeIO | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("KF2VEC_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            _lib = NativeIO(ctypes.CDLL(_SO))
+        except OSError:
+            _lib = None
+        return _lib

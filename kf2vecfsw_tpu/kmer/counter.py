@@ -86,29 +86,50 @@ def concat_with_separators(seqs: list[np.ndarray], k: int) -> np.ndarray:
 class KmerCounter:
     """Counts canonical k-mers and folds to the vocab feature vector.
 
-    backend: 'auto' | 'numpy' | 'tpu'. 'auto' uses the device kernel when a
-    non-CPU JAX backend is available and the input is large enough to win.
+    backend: 'auto' | 'numpy' | 'native' | 'tpu'.
+    'auto' picks the fastest available path: the multithreaded C++ rolling
+    counter for small-to-medium k (its per-thread private histograms stay
+    cache/RAM friendly up to k~11), the TPU Pallas kernel for large k or when
+    the native library is unavailable, numpy as the last resort. Override
+    with the env var KF2VEC_COUNT_BACKEND.
     """
 
     k: int
     backend: str = "auto"
     # below this many bases the device round-trip is not worth it
     min_device_bases: int = 200_000
+    # above this k the native per-thread histograms stop paying off
+    max_native_k: int = 11
 
     def __post_init__(self):
         self.vocab = canonical_vocab_codes(self.k) if self.k <= MAX_DENSE_K else None
         self._device_fn = None
 
     # -- backend resolution -------------------------------------------------
-    def _use_device(self, n_bases: int) -> bool:
-        if self.backend == "numpy" or self.k > MAX_DENSE_K:
-            return False
+    def _resolved_backend(self) -> str:
+        b = os.environ.get("KF2VEC_COUNT_BACKEND", self.backend)
         if os.environ.get("KF2VEC_FORCE_NUMPY"):
+            return "numpy"
+        return b
+
+    def _native(self):
+        try:
+            from ..io.native import lib as native_lib
+
+            return native_lib.load()
+        except Exception:
+            return None
+
+    def _use_device(self, n_bases: int) -> bool:
+        backend = self._resolved_backend()
+        if backend in ("numpy", "native") or self.k > MAX_DENSE_K:
             return False
-        if self.backend == "tpu":
+        if backend == "tpu":
             return True
         if n_bases < self.min_device_bases:
             return False
+        if self.k <= self.max_native_k and self._native() is not None:
+            return False  # native host counter wins at these sizes
         try:
             import jax
 
@@ -121,13 +142,21 @@ class KmerCounter:
 
         return count_canonical_device(codes, self.k)
 
+    def _host_count(self, codes: np.ndarray) -> np.ndarray:
+        """CPU path: native multithreaded counter if built, else numpy."""
+        if self._resolved_backend() != "numpy" and not os.environ.get("KF2VEC_NO_NATIVE"):
+            native = self._native()
+            if native is not None:
+                return native.count_canonical(codes, self.k)
+        return count_canonical_numpy(codes, self.k)
+
     # -- public API ----------------------------------------------------------
     def count(self, seqs: list[np.ndarray]) -> np.ndarray:
         """Dense histogram over 4^k for a list of encoded records."""
         codes = concat_with_separators(seqs, self.k)
         if self._use_device(codes.size):
             return self._device_count(codes)
-        return count_canonical_numpy(codes, self.k)
+        return self._host_count(codes)
 
     def feature_vector(self, seqs: list[np.ndarray]) -> np.ndarray:
         """Counts in canonical-vocab order (the `.kf` column order), float64."""

@@ -86,9 +86,18 @@ def test_pallas_interpret_matches_numpy():
     seq = rng.choice(list(b"ACGTN"), size=30_000, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
     codes = encode_bases(seq.tobytes())
     ref = count_canonical_numpy(codes, 7)
-    padded = H._pad_bases(codes)
-    got = np.asarray(H._count_jit_pallas(padded, 7, True)).reshape(-1)[: 4**7]
+    packed, inv_bits, _ = H.pack_2bit(H._pad_to_quantum(codes))
+    got = np.asarray(H._count_jit_pallas(packed, inv_bits, 7, True)).reshape(-1)[: 4**7]
     assert np.array_equal(got.astype(np.int64), ref)
+
+
+def test_pack_unpack_roundtrip():
+    from kf2vecfsw_tpu.kernels import histogram as H
+
+    codes = encode_bases(b"ACGTNacgtNN-XA")
+    packed, inv_bits, n = H.pack_2bit(codes)
+    restored = np.asarray(H.unpack_2bit_xla(packed, inv_bits))[:n]
+    assert np.array_equal(restored, codes)
 
 
 def test_kmer_counter_feature_vector():
