@@ -37,3 +37,30 @@ def chunks_weighted_sqrt_mse(model_dist, true_dist, pair_mask=None):
 def nll_loss(log_probs, labels, sample_mask=None):
     picked = -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
     return _masked_mean(picked, sample_mask)
+
+
+# -- defined-but-unused reference losses (capability parity) -------------------
+
+
+def contigs_weighted_sqrt_mse(model_dist, true_dist, ma_dist, a_const: float = 0.0):
+    """Loss_for_contigs (losses.py:120-182): within-genome pairs
+    (d_true == 0) are weighted by A/(ma+1e-6), between-genome pairs by
+    1/(sqrt(d_true)+1e-6); target is sqrt(d_true)."""
+    sqrt_true = jnp.sqrt(true_dist)
+    within = sqrt_true == 0.0
+    weight = jnp.where(
+        within, a_const / (ma_dist + 1e-6), 1.0 / (sqrt_true + 1e-6)
+    )
+    return jnp.mean((model_dist - sqrt_true) ** 2 * weight)
+
+
+def lambda_weighted_sqrt_mse(model_dist, true_dist, lam):
+    """Loss_wlambda (losses.py:184-253): per-sample learnable weights lam
+    applied on both axes of the weighted squared error, normalized by the
+    off-diagonal element count."""
+    weight = 1.0 / (true_dist + 1e-6)
+    v = (model_dist - jnp.sqrt(true_dist)) ** 2 * weight
+    s = jnp.sum(lam[None, :] * v, axis=1)
+    left = jnp.sum(lam * s)
+    n = v.size - v.shape[0]
+    return left / jnp.maximum(n, 1)

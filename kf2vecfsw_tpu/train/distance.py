@@ -12,11 +12,17 @@ epoch is one jitted lax.scan sharded over the mesh (see train/step.py).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def jnp_asarray_f32(x):
+    return jnp.asarray(x)
 
 from .. import defaults
 from ..io.kf import read_kf
@@ -127,6 +133,8 @@ def train_model_set_func(
     fswout_dim: int = defaults.FSW_OUT_DIM,
     mesh=None,
     log_every: int = 1,
+    resume: bool = False,
+    autosave_every: int = 500,
 ) -> list[str]:
     since = time.time()
     clade_tag = (
@@ -141,6 +149,7 @@ def train_model_set_func(
             num_epochs, hidden_size, embedding_size, batch_size, lr0, lr_min,
             lr_decay, clades_to_train, seed, model_filepath, test_ids_path,
             save_interval, use_fsw, base_dim, fswout_dim, mesh, log_every,
+            resume, autosave_every,
         )
     finally:
         close_logger(log)
@@ -150,7 +159,7 @@ def _train_all(
     log, since, features_folder, feature_files, clades_info, true_dist_dir,
     num_epochs, hidden_size, embedding_size, batch_size, lr0, lr_min, lr_decay,
     clades_to_train, seed, model_filepath, test_ids_path, save_interval,
-    use_fsw, base_dim, fswout_dim, mesh, log_every,
+    use_fsw, base_dim, fswout_dim, mesh, log_every, resume, autosave_every,
 ):
     from ..ingest.tree_ops import read_subtrees
 
@@ -281,14 +290,34 @@ def _train_all(
         lowest = float("inf")
         best_epoch = -1
         best_params = params
+        start_epoch = 0
         n_batches = runner.n_batches
         ckpt_path = os.path.join(model_filepath, f"model_subtree_{c}.ckpt")
+        state_path = os.path.join(model_filepath, f"trainer_state_subtree_{c}.ckpt")
+        if resume:
+            from .resume import load_trainer_state
 
-        for epoch in range(num_epochs):
+            state = load_trainer_state(state_path)
+            if state is not None:
+                last_epoch, params, opt, best_params, lowest, best_epoch = state
+                params = jax.tree.map(jnp_asarray_f32, params)
+                opt = jax.tree.map(jnp_asarray_f32, opt)
+                best_params = jax.tree.map(jnp_asarray_f32, best_params)
+                start_epoch = last_epoch + 1
+                log.info(f"Resuming from epoch {start_epoch} (autosaved state)")
+
+        from ..utils.profiling import maybe_trace
+
+        for epoch in range(start_epoch, num_epochs):
             lr = step_lr(epoch, lr0, lr_min, lr_decay)
-            params, opt, loss = runner.run_epoch(
-                params, opt, feats_train, dist_train, jax.random.fold_in(key, epoch), lr
+            trace_ctx = (
+                maybe_trace(f"train_model_clade_{c}") if epoch == start_epoch + 1
+                else contextlib.nullcontext()
             )
+            with trace_ctx:
+                params, opt, loss = runner.run_epoch(
+                    params, opt, feats_train, dist_train, jax.random.fold_in(key, epoch), lr
+                )
             loss = float(loss)
             if loss < lowest:
                 lowest = loss
@@ -306,6 +335,12 @@ def _train_all(
                         f"Epoch [{epoch + 1}/{num_epochs}], Test loss: {test_loss:.20f}"
                     )
                 log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{lr:.20f}")
+            if autosave_every and (epoch + 1) % autosave_every == 0:
+                from .resume import save_trainer_state
+
+                save_trainer_state(
+                    state_path, epoch, params, opt, best_params, lowest, best_epoch
+                )
             if save_interval is not None and (
                 epoch % save_interval == 0 or epoch == num_epochs - 1
             ):
