@@ -61,14 +61,24 @@ class ChunkStore:
     """Host-resident chunk matrices + span sampling.
 
     Matches the reference's memory story: uint16 by default, uint8 with
-    ``cap`` (values clamped to 255, utils.py:408-430).
+    ``cap`` (values clamped to 255, utils.py:408-430). ``column_mask``
+    drops feature columns up front (the hidden -mask low-complexity filter,
+    train_classifier_model_chunks.py:171-195).
     """
 
-    def __init__(self, kf_paths: list[str], cap: bool = False, threads: int = 8):
+    def __init__(
+        self,
+        kf_paths: list[str],
+        cap: bool = False,
+        threads: int = 8,
+        column_mask: np.ndarray | None = None,
+    ):
         from ..io.kf import read_kf
 
         def load(p):
             _, mat = read_kf(p)
+            if column_mask is not None:
+                mat = mat[:, column_mask]
             if cap:
                 return np.minimum(mat, 255).astype(np.uint8)
             return mat.astype(np.uint16)
@@ -334,11 +344,24 @@ def train_classifier_chunks_func(
     mesh = mesh or make_mesh()
     try:
         log.info("\n==> Preparing Data...\n")
-        store = ChunkStore(feature_files, cap=cap_data)
+        column_mask = None
+        if custom_mask:
+            from ..io.kf import read_kf
+            from ..kmer.vocab import low_complexity_mask
+            from .classifier import VOCAB_SIZES_TO_K
+
+            _, probe = read_kf(feature_files[0])
+            k_inferred = VOCAB_SIZES_TO_K.get(probe.shape[1])
+            if k_inferred is None:
+                raise ValueError(f"cannot infer k from width {probe.shape[1]} for -mask")
+            column_mask = low_complexity_mask(k_inferred)
+        store = ChunkStore(feature_files, cap=cap_data, column_mask=column_mask)
         names = store.names
         input_size = store.input_size
         n_items = len(names)
         log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
+        log.info(f"Masking: {custom_mask}")
+        log.info(f"Cap kmer frequencies: {cap_data}")
 
         clade_map = dict(read_subtrees(clades_info))
         labels = np.array([clade_map[n] for n in names], dtype=np.int32)
@@ -407,9 +430,13 @@ def train_classifier_chunks_func(
         ckpt_path = os.path.join(model_filepath, "classifier_model.ckpt")
         save_checkpoint(ckpt_path, "NeuralNetClassifierOnly", meta, best_params)
 
-        # backbone classes from FULL genomes (train_classifier_model_chunks.py:517-559)
+        # backbone classes from FULL genomes (train_classifier_model_chunks.py:517-559);
+        # the column mask is applied here too (the reference would crash on
+        # this path with -mask: its final pass feeds unmasked features)
         full_paths = [os.path.join(input_dir_fullgenomes, g + ".kf") for g in names]
         full_names, full_feats = load_kf_matrix(full_paths)
+        if column_mask is not None:
+            full_feats = full_feats[:, column_mask]
         full_feats = full_feats * F32(defaults.FEATURES_SCALER)
         lp = jax.jit(lambda p, x: classifier_apply(p, x))(jax.device_get(best_params), full_feats)
         probs = np.exp(np.asarray(lp))

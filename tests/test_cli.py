@@ -1,0 +1,87 @@
+"""CLI-level tests: argument wiring and the wrapper commands
+(main.py:971-1495 parity surface)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from kf2vecfsw_tpu.cli import build_parser, main
+
+TOY = "/root/reference/toy_example"
+
+
+def test_parser_has_all_reference_subcommands():
+    parser = build_parser()
+    sub = next(
+        a for a in parser._actions if a.__class__.__name__ == "_SubParsersAction"
+    )
+    commands = set(sub.choices)
+    expected = {
+        "get_kmers", "get_frequencies", "divide_tree", "scale_tree",
+        "get_distances", "train_classifier", "classify", "train_model_set",
+        "query", "build_library", "process_query_data", "get_chunks",
+        "train_model_set_chunks", "train_classifier_chunks",
+        "get_secondary_classes",
+    }
+    assert expected <= commands
+
+
+def test_defaults_match_reference():
+    parser = build_parser()
+    args = parser.parse_args(["train_model_set"])
+    # main.py:80-101 constants
+    assert args.e == 8000
+    assert args.hidden_sz == 2048
+    assert args.embed_sz == 1024
+    assert args.batch_sz == 16
+    assert args.lr == 1e-5
+    assert args.lr_min == 3e-6
+    assert args.lr_decay == 2000
+    assert args.seed == 28
+    assert args.fswout_dim == 512 and args.base_dim == 4
+    args = parser.parse_args(["get_frequencies"])
+    assert args.k == 7
+    args = parser.parse_args(["divide_tree"])
+    assert args.size == 850
+    args = parser.parse_args(["classify"])
+    assert args.block == 4000
+
+
+def test_version_flag(capsys):
+    with pytest.raises(SystemExit):
+        main(["--version"])
+    assert "kf2vec-tpu" in capsys.readouterr().out
+
+
+@pytest.mark.skipif(not os.path.isdir(TOY), reason="toy example unavailable")
+def test_wrapper_commands_end_to_end(tmp_path):
+    """build_library + process_query_data on the toy example (tiny epochs)."""
+    lib = tmp_path / "library"
+    res = tmp_path / "results"
+    lib.mkdir(), res.mkdir()
+    tree = tmp_path / "train_tree.nwk"
+    shutil.copy(os.path.join(TOY, "train_tree_newick", "train_tree.nwk"), tree)
+
+    main([
+        "build_library", "-input_dir", os.path.join(TOY, "train_tree_fna"),
+        "-output_dir", str(lib), "-tree", str(tree), "-size", "2",
+        "-mode", "subtrees_only", "-cl_epochs", "8", "-di_epochs", "6",
+        "-cl_hidden_sz", "64", "-di_hidden_sz", "64", "-di_embed_sz", "16",
+    ])
+    assert (lib / "classifier_model.ckpt").exists()
+    assert (lib / "model_subtree_0.ckpt").exists()
+    assert (lib / "embeddings_subtree_1.csv").exists()
+
+    main([
+        "process_query_data", "-input_dir", os.path.join(TOY, "test_fna"),
+        "-output_dir", str(res), "-classifier_model", str(lib),
+        "-distance_model", str(lib),
+    ])
+    assert (res / "classes.out").exists()
+    dist_files = [f for f in os.listdir(res) if f.startswith("apples_input_di_mtrx")]
+    assert dist_files
+    for f in dist_files:
+        mat = open(res / f).read().splitlines()
+        assert mat[0].startswith("\t")
