@@ -18,6 +18,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import defaults
@@ -166,7 +167,7 @@ def _train(
     log.info(f"Total parameters: {count_params(params)}")
     log.info(f"Trainable parameters: {count_params(params)}")
 
-    runner = ClassifierEpochRunner(mesh, classifier_apply, specs, n_items, batch_size)
+    runner = ClassifierEpochRunner(mesh, classifier_apply, specs, n_items, batch_size, donate=True)
     feats_dev = jax.device_put(feats)
     labels_dev = jax.device_put(labels)
 
@@ -191,7 +192,8 @@ def _train(
             lowest_loss = loss
             highest_acc = acc
             best_epoch = epoch
-            best_params = params
+            # deep copy: live buffers are donated to the next epoch's call
+            best_params = jax.tree.map(jnp.copy, params)
         if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
             hrs, m, s = hms(time.time() - since)
             log.info(

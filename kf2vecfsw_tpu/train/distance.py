@@ -273,7 +273,7 @@ def _train_all(
         feats_dev = jax.device_put(feats)
         dist_dev = jax.device_put(dist)
         runner = DistanceEpochRunner(
-            mesh, apply_fn, specs, len(train_idx), batch_size
+            mesh, apply_fn, specs, len(train_idx), batch_size, donate=True
         )
 
         hrs, m, s = hms(time.time() - since)
@@ -322,7 +322,9 @@ def _train_all(
             if loss < lowest:
                 lowest = loss
                 best_epoch = epoch
-                best_params = params
+                # deep copy: the live params buffers are donated to the next
+                # epoch's jitted call
+                best_params = jax.tree.map(jnp.copy, params)
             if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
                 hrs, m, s = hms(time.time() - since)
                 log.info(
