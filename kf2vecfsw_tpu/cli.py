@@ -402,6 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from .parallel.mesh import initialize_distributed
+
+    initialize_distributed()
     parser = build_parser()
     args = parser.parse_args(argv)
     if hasattr(args, "func"):

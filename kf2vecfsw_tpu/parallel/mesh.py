@@ -31,6 +31,22 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def initialize_distributed() -> bool:
+    """Multi-host bring-up: when the standard JAX cluster env vars are set
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
+    supported cluster environment), initialize the distributed runtime so
+    jax.devices() spans all hosts and the same mesh code runs across DCN.
+    Returns True if initialization happened."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def shard_params(params, specs, mesh: Mesh):
     """Place a parameter pytree according to per-leaf PartitionSpecs."""
     return jax.tree.map(

@@ -107,6 +107,19 @@ class ChunkStore:
             tmp[:] = 0.0
         return (tmp * defaults.FEATURES_SCALER).astype(F32)
 
+    def sample_one_uniform(self, rng: np.random.Generator, gi: int) -> np.ndarray:
+        """Legacy uniform-span sampling (Dataset_chunks, datasets.py:271-325):
+        span length ~ U[1, c), start ~ U[0, c-span)."""
+        m = self.matrices[gi]
+        c = m.shape[0]
+        nrows = int(rng.integers(1, max(c, 2)))
+        ix = int(rng.integers(0, max(c - nrows, 1)))
+        tmp = m[ix : ix + nrows].sum(axis=0, dtype=np.int64).astype(np.float64)
+        total = tmp.sum()
+        if total > 0:
+            tmp /= total
+        return (tmp * defaults.FEATURES_SCALER).astype(F32)
+
     def sample_batch(self, rng, genome_indices, draws: int) -> np.ndarray:
         """(len(indices) * draws, V) float32: `draws` spans per genome,
         consecutive rows belong to the same genome."""

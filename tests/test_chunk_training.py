@@ -94,3 +94,15 @@ def test_chunked_classifier_trainer(tmp_path):
     )
     assert os.path.exists(ckpt)
     assert os.path.exists(os.path.join(out_dir, "backbone_classes.out"))
+
+
+def test_chunk_store_uniform_sampler():
+    import tempfile
+
+    rng = np.random.default_rng(2)
+    with tempfile.TemporaryDirectory() as td:
+        chunks_dir, *_ = _make_fixture(td)
+        store = ChunkStore(sorted(glob.glob(os.path.join(chunks_dir, "*.kf"))))
+        x = store.sample_one_uniform(rng, 0)
+        assert x.shape == (V,)
+        assert np.isclose(x.sum(), 1e4, rtol=1e-4)
