@@ -29,6 +29,15 @@ def _check_dir(path: str, what: str) -> None:
         raise SystemExit(0)
 
 
+def _finalize_vec(vec: np.ndarray, pseudocount: bool, raw_cnt: bool) -> np.ndarray:
+    if pseudocount:
+        vec = vec + 0.5
+    if not raw_cnt:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vec = vec / vec.sum()
+    return vec
+
+
 def compute_kf_vector(
     counter: KmerCounter,
     seqs: list[np.ndarray],
@@ -36,13 +45,7 @@ def compute_kf_vector(
     raw_cnt: bool = False,
 ) -> np.ndarray:
     """Counts -> .kf value vector (float64), matching main.py:323-342."""
-    vec = counter.feature_vector(seqs)
-    if pseudocount:
-        vec = vec + 0.5
-    if not raw_cnt:
-        with np.errstate(invalid="ignore", divide="ignore"):
-            vec = vec / vec.sum()
-    return vec
+    return _finalize_vec(counter.feature_vector(seqs), pseudocount, raw_cnt)
 
 
 def get_frequencies(
@@ -71,13 +74,29 @@ def get_frequencies(
         recs = read_sequences(os.path.join(input_dir, fname))
         return fname, [r.codes for r in recs]
 
+    # pipeline: threaded read+encode feeds the counter; on the device
+    # backend up to MAX_INFLIGHT genomes are dispatched before the first
+    # histogram is read back, overlapping transfer/compute/readback
+    MAX_INFLIGHT = 8
+    from collections import deque
+
+    inflight: deque = deque()
+
+    def drain_one():
+        fname, token = inflight.popleft()
+        name = sample_name(fname)
+        vec = _finalize_vec(counter.feature_vector_finish(token), pseudocount, raw_cnt)
+        out_path = os.path.join(output_dir, f"{name}.kf")
+        write_kf(out_path, [(name, vec)])
+        written.append(out_path)
+
     with ThreadPoolExecutor(max_workers=threads) as pool:
         for fname, seqs in pool.map(load, files):
-            name = sample_name(fname)
-            vec = compute_kf_vector(counter, seqs, pseudocount, raw_cnt)
-            out_path = os.path.join(output_dir, f"{name}.kf")
-            write_kf(out_path, [(name, vec)])
-            written.append(out_path)
+            inflight.append((fname, counter.count_begin(seqs)))
+            if len(inflight) >= MAX_INFLIGHT:
+                drain_one()
+        while inflight:
+            drain_one()
 
     print(f"\n==> Done processing {input_dir}")
     return written

@@ -167,23 +167,21 @@ def _pad_to_quantum(chunk: np.ndarray) -> np.ndarray:
     return np.pad(chunk, (0, n_pad - chunk.size), constant_values=INVALID)
 
 
-def count_canonical_device(codes_u8: np.ndarray, k: int) -> np.ndarray:
-    """Dense 4^k canonical histogram computed on the default JAX device.
+def count_canonical_device_async(codes_u8: np.ndarray, k: int) -> list[jax.Array]:
+    """Dispatch the device histogram WITHOUT syncing: returns per-chunk
+    device arrays. JAX dispatch is asynchronous, so issuing several genomes
+    before finalizing pipelines host->device transfer, kernel compute and
+    device->host readback across genomes — hiding per-call link latency.
 
     The base stream is 2-bit packed on the host, streamed in bounded chunks
     (overlapped by k-1 at the seams), unpacked + windowed in fused XLA, and
     histogrammed by the Pallas MXU kernel (f32 accumulation stays exact
     because each call sees < 2^24 windows)."""
-    if k < 4:
-        # tiny histograms: not worth a kernel; keep exact semantics
-        from ..kmer.counter import count_canonical_numpy
-
-        return count_canonical_numpy(codes_u8, k)
     use_pallas = jax.default_backend() == "tpu"
     interpret = bool(os.environ.get("KF2VEC_PALLAS_INTERPRET"))
     if interpret:
         use_pallas = True
-    total = np.zeros(4**k, dtype=np.int64)
+    parts: list[jax.Array] = []
     step = MAX_WINDOWS_PER_CALL
     # overlap of exactly k-1 bases: no window lost or double-counted at seams
     # (each chunk is packed from its own offset, so no alignment constraint)
@@ -198,11 +196,27 @@ def count_canonical_device(codes_u8: np.ndarray, k: int) -> np.ndarray:
         packed_dev = jax.device_put(packed)
         inv_dev = jax.device_put(inv_bits)
         if use_pallas:
-            hist = np.asarray(_count_jit_pallas(packed_dev, inv_dev, k, interpret))
-            total += hist.reshape(-1)[: 4**k].astype(np.int64)
+            parts.append(_count_jit_pallas(packed_dev, inv_dev, k, interpret))
         else:
-            total += np.asarray(_count_jit_scatter(packed_dev, inv_dev, k)).astype(np.int64)
+            parts.append(_count_jit_scatter(packed_dev, inv_dev, k))
         if pos + step >= n:
             break
         pos += step - overlap
+    return parts
+
+
+def finalize_device_counts(parts: list[jax.Array], k: int) -> np.ndarray:
+    total = np.zeros(4**k, dtype=np.int64)
+    for p in parts:
+        total += np.asarray(p).reshape(-1)[: 4**k].astype(np.int64)
     return total
+
+
+def count_canonical_device(codes_u8: np.ndarray, k: int) -> np.ndarray:
+    """Dense 4^k canonical histogram computed on the default JAX device."""
+    if k < 4:
+        # tiny histograms: not worth a kernel; keep exact semantics
+        from ..kmer.counter import count_canonical_numpy
+
+        return count_canonical_numpy(codes_u8, k)
+    return finalize_device_counts(count_canonical_device_async(codes_u8, k), k)

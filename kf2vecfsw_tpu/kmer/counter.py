@@ -158,6 +158,28 @@ class KmerCounter:
             return self._device_count(codes)
         return self._host_count(codes)
 
+    # async pipeline: begin() dispatches device work without syncing, so
+    # several genomes can be in flight (transfer/compute/readback overlap);
+    # finish() materializes the histogram
+    def count_begin(self, seqs: list[np.ndarray]):
+        codes = concat_with_separators(seqs, self.k)
+        if self._use_device(codes.size) and self.k >= 4:
+            from ..kernels.histogram import count_canonical_device_async
+
+            return ("device", count_canonical_device_async(codes, self.k))
+        return ("host", self._host_count(codes))
+
+    def count_finish(self, token) -> np.ndarray:
+        kind, payload = token
+        if kind == "device":
+            from ..kernels.histogram import finalize_device_counts
+
+            return finalize_device_counts(payload, self.k)
+        return payload
+
+    def feature_vector_finish(self, token) -> np.ndarray:
+        return self.count_finish(token)[self.vocab].astype(np.float64)
+
     def feature_vector(self, seqs: list[np.ndarray]) -> np.ndarray:
         """Counts in canonical-vocab order (the `.kf` column order), float64."""
         hist = self.count(seqs)
