@@ -45,6 +45,11 @@ def classify_func(
             raise ValueError(f"unexpected classifier model {model_name!r}")
         input_size = int(meta["model_input_size"])
         class_count = int(meta["model_class_count"])
+        column_mask = None
+        if meta.get("low_complexity_mask_k"):
+            from ..kmer.vocab import low_complexity_mask
+
+            column_mask = low_complexity_mask(int(meta["low_complexity_mask_k"]))
 
         forward = jax.jit(lambda p, x: classifier_apply(p, x))
 
@@ -55,6 +60,8 @@ def classify_func(
             for z in range(0, len(feature_files), block_size):
                 chunk = feature_files[z : z + block_size]
                 names, mat = read_kf_files(chunk, dtype=np.float32)
+                if column_mask is not None and mat.shape[1] == column_mask.size:
+                    mat = mat[:, column_mask]
                 if mat.shape[1] != input_size:
                     raise ValueError(
                         f"feature width {mat.shape[1]} != model input {input_size}"

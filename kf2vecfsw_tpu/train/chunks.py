@@ -440,6 +440,8 @@ def train_classifier_chunks_func(
             "model_hidden_size_fc1": hidden_size,
             "model_class_count": class_count,
         }
+        if custom_mask:
+            meta["low_complexity_mask_k"] = k_inferred
         ckpt_path = os.path.join(model_filepath, "classifier_model.ckpt")
         save_checkpoint(ckpt_path, "NeuralNetClassifierOnly", meta, best_params)
 

@@ -138,11 +138,12 @@ def _train(
     input_size = feats.shape[1]
     log.info(f"Dimensions of feature matrix rows: {feats.shape[0]}, cols: {input_size}")
 
+    mask_k = None
     if custom_mask:
-        k = VOCAB_SIZES_TO_K.get(input_size)
-        if k is None:
+        mask_k = VOCAB_SIZES_TO_K.get(input_size)
+        if mask_k is None:
             raise ValueError(f"cannot infer k from input size {input_size} for -mask")
-        keep = low_complexity_mask(k)
+        keep = low_complexity_mask(mask_k)
         feats = feats[:, keep]
         input_size = feats.shape[1]
         log.info(
@@ -214,6 +215,11 @@ def _train(
         "best_epoch": best_epoch,
         "lowest_loss": lowest_loss,
     }
+    if mask_k is not None:
+        # record the mask so classify can filter query features identically
+        # (the reference cannot run classify on masked models at all:
+        # classify.py never re-applies the mask and the widths mismatch)
+        meta["low_complexity_mask_k"] = mask_k
     ckpt_path = os.path.join(model_filepath, "classifier_model.ckpt")
     save_checkpoint(ckpt_path, "NeuralNetClassifierOnly", meta, best_params)
 

@@ -319,6 +319,8 @@ def _train_all(
                     params, opt, feats_train, dist_train, jax.random.fold_in(key, epoch), lr
                 )
             loss = float(loss)
+            if loss != loss:  # NaN watch (train_model_set_chunks.py:431-432)
+                log.info(f"Loss: {loss}")
             if loss < lowest:
                 lowest = loss
                 best_epoch = epoch

@@ -85,3 +85,33 @@ def test_wrapper_commands_end_to_end(tmp_path):
     for f in dist_files:
         mat = open(res / f).read().splitlines()
         assert mat[0].startswith("\t")
+
+
+def test_masked_classifier_roundtrip(tmp_path):
+    """-mask training + classify on unmasked query .kf (the reference cannot
+    run this combination: classify never re-applies the mask)."""
+    import glob
+
+    from kf2vecfsw_tpu.infer.classify import classify_func, read_classes_out
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.train.classifier import train_classifier_func
+
+    rng = np.random.default_rng(0)
+    kf, models, out = tmp_path / "kf", tmp_path / "m", tmp_path / "o"
+    for d in (kf, models, out):
+        d.mkdir()
+    names = ["a1", "a2", "b1", "b2"]
+    for i, n in enumerate(names):
+        v = rng.random(32)
+        v[: 16] += 5.0 * (i % 2)  # separable classes
+        write_kf(str(kf / f"{n}.kf"), [(n, v / v.sum())])
+    sub = tmp_path / "t.subtrees"
+    sub.write_text("genome clade\n" + "".join(f"{n} {i % 2}\n" for i, n in enumerate(names)))
+    files = sorted(glob.glob(str(kf / "*.kf")))
+    train_classifier_func(
+        str(kf), files, str(sub), 30, 16, 2, 1e-2, 3e-6, 2000, 28, True,
+        str(models), log_every=30,
+    )
+    classify_func(str(kf), files, str(models), 28, str(out))
+    got = dict(read_classes_out(str(out / "classes.out")))
+    assert got == {n: i % 2 for i, n in enumerate(names)}

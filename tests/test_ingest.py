@@ -115,3 +115,19 @@ def test_divide_and_distances_roundtrip(toy, tmp_path):
         os.path.join(toy, "train_tree_newick", "train_tree_r100.0.nwk")
     ).read().strip()
     assert open(out).read().strip() == golden_nwk
+
+
+def test_get_distances_full_mode(toy, tmp_path):
+    import shutil
+
+    nwk = tmp_path / "train_tree.nwk"
+    shutil.copy(os.path.join(toy, "train_tree_newick", "train_tree.nwk"), nwk)
+    written = get_distances(str(nwk), None, mode="full_only")
+    assert os.path.basename(written[0]) == "train_tree_full.di_mtrx"
+    from kf2vecfsw_tpu.tree.distance import read_di_mtrx, reindex_matrix
+
+    rl, cl, v = read_di_mtrx(written[0])
+    gl_r, gl_c, gl_v = read_di_mtrx(
+        os.path.join(toy, "train_tree_newick_single_clade", "train_tree_subtree_0.di_mtrx")
+    )
+    assert np.abs(reindex_matrix(rl, cl, v, rl) - reindex_matrix(gl_r, gl_c, gl_v, rl)).max() == 0.0
