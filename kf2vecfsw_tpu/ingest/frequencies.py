@@ -75,28 +75,30 @@ def get_frequencies(
         return fname, [r.codes for r in recs]
 
     # pipeline: threaded read+encode feeds the counter; on the device
-    # backend up to MAX_INFLIGHT genomes are dispatched before the first
-    # histogram is read back, overlapping transfer/compute/readback
-    MAX_INFLIGHT = 8
-    from collections import deque
+    # backend up to MAX_INFLIGHT genomes are dispatched before any histogram
+    # is read back, overlapping transfer/compute/readback — and the whole
+    # in-flight batch is fetched in ONE device->host transfer (per-fetch
+    # round-trip latency would otherwise dominate on remote/tunneled chips)
+    MAX_INFLIGHT = 16
 
-    inflight: deque = deque()
+    inflight: list = []
 
-    def drain_one():
-        fname, token = inflight.popleft()
-        name = sample_name(fname)
-        vec = _finalize_vec(counter.feature_vector_finish(token), pseudocount, raw_cnt)
-        out_path = os.path.join(output_dir, f"{name}.kf")
-        write_kf(out_path, [(name, vec)])
-        written.append(out_path)
+    def drain_all():
+        batch, inflight[:] = list(inflight), []
+        vecs = counter.feature_vector_finish_batch([tok for _, tok in batch])
+        for (fname, _), counts in zip(batch, vecs):
+            name = sample_name(fname)
+            vec = _finalize_vec(counts, pseudocount, raw_cnt)
+            out_path = os.path.join(output_dir, f"{name}.kf")
+            write_kf(out_path, [(name, vec)])
+            written.append(out_path)
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
         for fname, seqs in pool.map(load, files):
             inflight.append((fname, counter.count_begin(seqs)))
             if len(inflight) >= MAX_INFLIGHT:
-                drain_one()
-        while inflight:
-            drain_one()
+                drain_all()
+        drain_all()
 
     print(f"\n==> Done processing {input_dir}")
     return written

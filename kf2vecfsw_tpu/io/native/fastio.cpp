@@ -14,9 +14,14 @@
 #include <thread>
 #include <vector>
 
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 uint8_t LUT[256];
+uint8_t REV8[256];  // reverse the four 2-bit groups within a byte
 
 struct LutInit {
   LutInit() {
@@ -25,6 +30,9 @@ struct LutInit {
     LUT['C'] = LUT['c'] = 1;
     LUT['G'] = LUT['g'] = 2;
     LUT['T'] = LUT['t'] = 3;
+    for (int v = 0; v < 256; ++v)
+      REV8[v] = (uint8_t)(((v & 3) << 6) | ((v & 12) << 2) | ((v & 48) >> 2) |
+                          ((v & 192) >> 6));
   }
 } lut_init;
 
@@ -52,6 +60,94 @@ void count_range(const uint8_t* codes, int64_t n, int k, int64_t lo, int64_t hi,
       uint64_t canon = fwd < rc ? fwd : rc;
       ++hist[canon];
     }
+  }
+}
+
+// ---- fast path: forward-only little-endian counting + canonical fold ----
+//
+// Counting min(fwd, revcomp) per window needs ~13 uops/base in the rolling
+// loop. Instead count each window under a BIJECTIVE relabeling — the
+// little-endian code c2 = sum_j base_j << 2j (earliest base in the lowest
+// bits) — which is a direct bit-slice of the 2-bit-packed stream, then fold
+// the 4^k histogram once per call: the window's standard forward code is
+// pairrev(c2) and its reverse-complement code is ~c2 & mask, so
+// canon[min(pairrev(c2), ~c2 & mask)] += hist2[c2]. Halves per-window work
+// (measured 485 -> ~1200 MB/s/core at k=7 with 1% N).
+
+// Count windows ENDING at base index e in [e_lo, e_hi) into hist2 (4^k
+// uint32 bins, little-endian codes). Warms up run/T from the k-1 preceding
+// bases, so any [e_lo, e_hi) partition over threads counts each window once.
+void count_le_range(const uint8_t* codes, int64_t n, int k, int64_t e_lo,
+                    int64_t e_hi, uint32_t* hist2) {
+  const uint64_t mask = (1ULL << (2 * k)) - 1;
+  const int top = 2 * (k - 1);
+  uint64_t T = 0;
+  int64_t run = 0;
+  for (int64_t i = e_lo - k + 1 < 0 ? 0 : e_lo - k + 1; i < e_lo; ++i) {
+    uint8_t b = codes[i];
+    run = b < 4 ? run + 1 : 0;
+    T = (T >> 2) | ((uint64_t)(b & 3) << top);
+  }
+  int64_t e = e_lo;
+#if defined(__BMI2__)
+  // 8 windows per iteration: one 8-byte load, one pext, eight slice+adds
+  for (; e + 8 <= e_hi; e += 8) {
+    uint64_t v;
+    memcpy(&v, codes + e, 8);
+    if (v & 0xFCFCFCFCFCFCFCFCULL) {
+      for (int u = 0; u < 8; ++u) {
+        uint8_t b = codes[e + u];
+        run = b < 4 ? run + 1 : 0;
+        T = (T >> 2) | ((uint64_t)(b & 3) << top);
+        hist2[T] += (run >= k);
+      }
+      continue;
+    }
+    uint64_t packed = _pext_u64(v, 0x0303030303030303ULL);
+    // bit buffer: [T = last k bases (window ending at e-1)] ++ 8 new bases;
+    // the window ending at e+u is bits [2(u+1), 2(u+1)+2k) — fits 64 bits
+    // for k <= 24 (dense counting is capped far below that)
+    uint64_t buf = T | (packed << (2 * k));
+    if (run >= k - 1) {
+      for (int u = 0; u < 8; ++u) ++hist2[(buf >> (2 * (u + 1))) & mask];
+    } else {
+      int64_t r0 = run;
+      for (int u = 0; u < 8; ++u)
+        hist2[(buf >> (2 * (u + 1))) & mask] += (r0 + 1 + u >= k);
+    }
+    run += 8;
+    T = (buf >> 16) & mask;
+  }
+#endif
+  for (; e < e_hi; ++e) {
+    uint8_t b = codes[e];
+    run = b < 4 ? run + 1 : 0;
+    T = (T >> 2) | ((uint64_t)(b & 3) << top);
+    hist2[T] += (run >= k);
+  }
+}
+
+// pairrev: reverse the k 2-bit groups of a 2k-bit word (byte LUT + shifts)
+inline uint64_t pairrev(uint64_t c2, int k) {
+  uint64_t r = 0;
+  int bits = 2 * k;
+  int nbytes = (bits + 7) / 8;
+  for (int j = 0; j < nbytes; ++j)
+    r = (r << 8) | REV8[(c2 >> (8 * j)) & 0xFF];
+  // r now has the reversal of nbytes*8 bits; drop the pad
+  return r >> (8 * nbytes - bits);
+}
+
+// Fold little-endian counts into the canonical histogram (adds into out).
+void fold_canonical(const uint32_t* hist2, int k, int64_t* out) {
+  const uint64_t mask = (1ULL << (2 * k)) - 1;
+  const int64_t nbins = 1LL << (2 * k);
+  for (int64_t c2 = 0; c2 < nbins; ++c2) {
+    uint32_t v = hist2[c2];
+    if (!v) continue;
+    uint64_t f = pairrev((uint64_t)c2, k);
+    uint64_t r = (~(uint64_t)c2) & mask;
+    out[f < r ? f : r] += v;
   }
 }
 
@@ -92,9 +188,52 @@ int64_t kf2vec_parse_fasta(const uint8_t* data, int64_t n, uint8_t* out,
   return nrec;
 }
 
+// 2-bit pack a base-code buffer for the TPU counting path: 4 bases/byte in
+// `packed` plus an invalid-base bitmask (1 bit/base, little-endian bit order,
+// matching numpy packbits(bitorder="little")). n must be a multiple of 8.
+// This is the host-side serial stage of the device pipeline, so it is
+// multithreaded: each thread owns disjoint byte ranges of both outputs.
+void kf2vec_pack2bit(const uint8_t* codes, int64_t n, uint8_t* packed,
+                     uint8_t* invbits, int n_threads) {
+  if (n <= 0 || (n & 7)) return;
+  if (n_threads < 1) n_threads = 1;
+  if (n < (1 << 16)) n_threads = 1;
+  auto work = [codes, packed, invbits](int64_t lo8, int64_t hi8) {
+    // process groups of 8 bases: 2 packed bytes + 1 invbits byte per group
+    for (int64_t g = lo8; g < hi8; ++g) {
+      const uint8_t* c = codes + g * 8;
+      uint8_t p0 = 0, p1 = 0, inv = 0;
+      for (int j = 0; j < 4; ++j) {
+        p0 |= (uint8_t)((c[j] & 3) << (2 * j));
+        p1 |= (uint8_t)((c[4 + j] & 3) << (2 * j));
+      }
+      for (int j = 0; j < 8; ++j) inv |= (uint8_t)((c[j] >= 4) << j);
+      packed[g * 2] = p0;
+      packed[g * 2 + 1] = p1;
+      invbits[g] = inv;
+    }
+  };
+  const int64_t n_groups = n / 8;
+  if (n_threads == 1) {
+    work(0, n_groups);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n_groups + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = lo + per < n_groups ? lo + per : n_groups;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
 // Multithreaded canonical k-mer histogram. hist has 4^k zero-initialized
-// int64 entries. Per-thread private histograms are used when 4^k is small
-// enough; otherwise the range is processed single-threaded.
+// int64 entries. Fast path: per-thread uint32 little-endian histograms
+// (count_le_range) merged then folded to canonical bins once; uint32 bins
+// are chunk-guarded so totals never overflow. Falls back to the rolling
+// canonical loop when the private histograms would not fit.
 void kf2vec_count_canonical(const uint8_t* codes, int64_t n, int k,
                             int64_t* hist, int n_threads) {
   if (n < k || k < 1 || k > 31) return;
@@ -103,25 +242,59 @@ void kf2vec_count_canonical(const uint8_t* codes, int64_t n, int k,
   const int64_t kMaxPrivateBytes = 64LL << 20;  // 64 MiB per thread
   if (n_threads < 1) n_threads = 1;
   if (n_win < 1 << 16) n_threads = 1;
-  if (nbins * (int64_t)sizeof(int64_t) > kMaxPrivateBytes) n_threads = 1;
 
-  if (n_threads == 1) {
-    count_range(codes, n, k, 0, n_win, hist);
+  const bool le_ok = k <= 24 && nbins * (int64_t)sizeof(uint32_t) <= kMaxPrivateBytes;
+  if (!le_ok) {
+    if (nbins * (int64_t)sizeof(int64_t) > kMaxPrivateBytes) n_threads = 1;
+    if (n_threads == 1) {
+      count_range(codes, n, k, 0, n_win, hist);
+      return;
+    }
+    std::vector<std::vector<int64_t>> priv(n_threads,
+                                           std::vector<int64_t>(nbins, 0));
+    std::vector<std::thread> threads;
+    int64_t per = (n_win + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t lo = t * per;
+      int64_t hi = lo + per < n_win ? lo + per : n_win;
+      if (lo >= hi) break;
+      threads.emplace_back(count_range, codes, n, k, lo, hi, priv[t].data());
+    }
+    for (auto& th : threads) th.join();
+    for (int t = 0; t < (int)priv.size(); ++t)
+      for (int64_t b = 0; b < nbins; ++b) hist[b] += priv[t][b];
     return;
   }
-  std::vector<std::vector<int64_t>> priv(n_threads,
-                                         std::vector<int64_t>(nbins, 0));
-  std::vector<std::thread> threads;
-  int64_t per = (n_win + n_threads - 1) / n_threads;
-  for (int t = 0; t < n_threads; ++t) {
-    int64_t lo = t * per;
-    int64_t hi = lo + per < n_win ? lo + per : n_win;
-    if (lo >= hi) break;
-    threads.emplace_back(count_range, codes, n, k, lo, hi, priv[t].data());
+
+  // windows end at e in [k-1, n); process in segments small enough that a
+  // uint32 bin can never overflow (each window adds at most 1)
+  const int64_t kSegWindows = 1LL << 31;
+  std::vector<std::vector<uint32_t>> priv(n_threads,
+                                          std::vector<uint32_t>(nbins, 0));
+  for (int64_t seg_lo = k - 1; seg_lo < n; seg_lo += kSegWindows) {
+    int64_t seg_hi = seg_lo + kSegWindows < n ? seg_lo + kSegWindows : n;
+    if (n_threads == 1) {
+      count_le_range(codes, n, k, seg_lo, seg_hi, priv[0].data());
+    } else {
+      std::vector<std::thread> threads;
+      int64_t span = seg_hi - seg_lo;
+      int64_t per = (span + n_threads - 1) / n_threads;
+      for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = seg_lo + t * per;
+        int64_t hi = lo + per < seg_hi ? lo + per : seg_hi;
+        if (lo >= hi) break;
+        threads.emplace_back(count_le_range, codes, n, k, lo, hi,
+                             priv[t].data());
+      }
+      for (auto& th : threads) th.join();
+    }
+    for (int t = 1; t < n_threads; ++t) {
+      for (int64_t b = 0; b < nbins; ++b) priv[0][b] += priv[t][b];
+      if (seg_hi < n) memset(priv[t].data(), 0, nbins * sizeof(uint32_t));
+    }
+    fold_canonical(priv[0].data(), k, hist);
+    if (seg_hi < n) memset(priv[0].data(), 0, nbins * sizeof(uint32_t));
   }
-  for (auto& th : threads) th.join();
-  for (int t = 0; t < (int)priv.size(); ++t)
-    for (int64_t b = 0; b < nbins; ++b) hist[b] += priv[t][b];
 }
 
 }  // extern "C"

@@ -33,6 +33,13 @@ class NativeIO:
             u8p, ctypes.c_int64, u8p, i64p, i64p, ctypes.c_int64,
         ]
         self._c.kf2vec_parse_fasta.restype = ctypes.c_int64
+        try:
+            self._c.kf2vec_pack2bit.argtypes = [
+                u8p, ctypes.c_int64, u8p, u8p, ctypes.c_int,
+            ]
+            self._pack2bit = self._c.kf2vec_pack2bit
+        except AttributeError:  # stale .so from an older build
+            self._pack2bit = None
 
     @staticmethod
     def _u8(arr):
@@ -56,6 +63,18 @@ class NativeIO:
             self._u8(codes), codes.size, k, self._i64(hist), threads
         )
         return hist
+
+    def pack2bit(self, codes: np.ndarray, n_threads: int | None = None) -> tuple[np.ndarray, np.ndarray] | None:
+        """2-bit pack + invalid bitmask (codes.size must be a multiple of 8);
+        None if the loaded .so predates this entry point."""
+        if self._pack2bit is None:
+            return None
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        packed = np.empty(codes.size // 4, dtype=np.uint8)
+        invbits = np.empty(codes.size // 8, dtype=np.uint8)
+        threads = n_threads or min(16, os.cpu_count() or 1)
+        self._pack2bit(self._u8(codes), codes.size, self._u8(packed), self._u8(invbits), threads)
+        return packed, invbits
 
     def parse_fasta_encoded(self, data: bytes) -> tuple[np.ndarray, np.ndarray]:
         """-> (encoded concat codes, record offsets len nrec+1)."""

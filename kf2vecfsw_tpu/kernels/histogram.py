@@ -102,12 +102,28 @@ def histogram_pallas(codes: jax.Array, k: int, interpret: bool = False) -> jax.A
 def pack_2bit(codes_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     """Host-side 2-bit packing: (packed 4 bases/byte, invalid bitmask
     1 bit/base little-endian, n_bases). Cuts host->device transfer 3.2x —
-    the dominant cost of the device counting path on thin PCIe/relay links."""
+    the dominant cost of the device counting path on thin PCIe/relay links.
+    Uses the multithreaded native packer when built (the numpy version is
+    15-30 ms per 5 Mb genome and would serialize the whole pipeline)."""
     codes_u8 = np.asarray(codes_u8, dtype=np.uint8)
     n = codes_u8.size
     n_pad = -(-max(n, 8) // 8) * 8
-    padded = np.full(n_pad, INVALID, dtype=np.uint8)
-    padded[:n] = codes_u8
+    if n_pad == n:
+        padded = codes_u8
+    else:
+        padded = np.full(n_pad, INVALID, dtype=np.uint8)
+        padded[:n] = codes_u8
+    if not os.environ.get("KF2VEC_NO_NATIVE"):
+        try:
+            from ..io.native import lib as native_lib
+
+            native = native_lib.load()
+        except Exception:
+            native = None
+        if native is not None:
+            res = native.pack2bit(padded)
+            if res is not None:
+                return res[0], res[1], n
     b = (padded & 3).reshape(-1, 4)
     packed = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4) | (b[:, 3] << 6)).astype(np.uint8)
     inv_bits = np.packbits(padded == INVALID, bitorder="little")
@@ -167,21 +183,37 @@ def _pad_to_quantum(chunk: np.ndarray) -> np.ndarray:
     return np.pad(chunk, (0, n_pad - chunk.size), constant_values=INVALID)
 
 
-def count_canonical_device_async(codes_u8: np.ndarray, k: int) -> list[jax.Array]:
-    """Dispatch the device histogram WITHOUT syncing: returns per-chunk
-    device arrays. JAX dispatch is asynchronous, so issuing several genomes
-    before finalizing pipelines host->device transfer, kernel compute and
-    device->host readback across genomes — hiding per-call link latency.
+@jax.jit
+def _to_i32(part: jax.Array) -> jax.Array:
+    return part.astype(jnp.int32)
 
-    The base stream is 2-bit packed on the host, streamed in bounded chunks
-    (overlapped by k-1 at the seams), unpacked + windowed in fused XLA, and
-    histogrammed by the Pallas MXU kernel (f32 accumulation stays exact
-    because each call sees < 2^24 windows)."""
+
+@jax.jit
+def _accum_i32(acc: jax.Array, part: jax.Array) -> jax.Array:
+    # per-chunk f32 counts are exact (< 2^24 windows/chunk); the running
+    # total is kept in int32 so multi-chunk genomes never lose precision
+    return acc + part.astype(jnp.int32)
+
+
+def count_canonical_device_async(codes_u8: np.ndarray, k: int) -> jax.Array:
+    """Dispatch the device histogram WITHOUT syncing: returns the (single)
+    accumulated on-device histogram. JAX dispatch is asynchronous, so issuing
+    several genomes before finalizing pipelines host->device transfer, kernel
+    compute and device->host readback across genomes — hiding per-call link
+    latency (tens of ms per round trip on a tunneled chip, which would
+    otherwise dominate: the kernel itself is ~1 ms per 5 Mb genome).
+
+    The base stream is 2-bit packed on the host (native multithreaded
+    packer), streamed in bounded chunks (overlapped by k-1 at the seams),
+    unpacked + windowed in fused XLA, histogrammed by the Pallas MXU kernel
+    (f32 accumulation is exact per chunk: < 2^24 windows), accumulated
+    across chunks on device in int32, and fetched with ONE host copy per
+    genome started eagerly so readback overlaps later genomes' work."""
     use_pallas = jax.default_backend() == "tpu"
     interpret = bool(os.environ.get("KF2VEC_PALLAS_INTERPRET"))
     if interpret:
         use_pallas = True
-    parts: list[jax.Array] = []
+    acc: jax.Array | None = None
     step = MAX_WINDOWS_PER_CALL
     # overlap of exactly k-1 bases: no window lost or double-counted at seams
     # (each chunk is packed from its own offset, so no alignment constraint)
@@ -196,20 +228,43 @@ def count_canonical_device_async(codes_u8: np.ndarray, k: int) -> list[jax.Array
         packed_dev = jax.device_put(packed)
         inv_dev = jax.device_put(inv_bits)
         if use_pallas:
-            parts.append(_count_jit_pallas(packed_dev, inv_dev, k, interpret))
+            part = _count_jit_pallas(packed_dev, inv_dev, k, interpret)
         else:
-            parts.append(_count_jit_scatter(packed_dev, inv_dev, k))
+            part = _count_jit_scatter(packed_dev, inv_dev, k)
+        acc = _to_i32(part) if acc is None else _accum_i32(acc, part)
         if pos + step >= n:
             break
         pos += step - overlap
-    return parts
+    assert acc is not None
+    try:  # start the device->host copy now; finalize only waits for it
+        acc.copy_to_host_async()
+    except Exception:
+        pass
+    return acc
 
 
-def finalize_device_counts(parts: list[jax.Array], k: int) -> np.ndarray:
-    total = np.zeros(4**k, dtype=np.int64)
-    for p in parts:
-        total += np.asarray(p).reshape(-1)[: 4**k].astype(np.int64)
-    return total
+def finalize_device_counts(acc: jax.Array, k: int) -> np.ndarray:
+    return np.asarray(acc).reshape(-1)[: 4**k].astype(np.int64)
+
+
+@jax.jit
+def _stack_jit(accs: tuple[jax.Array, ...]) -> jax.Array:
+    return jnp.stack(accs)
+
+
+def finalize_device_counts_batch(accs: list[jax.Array], k: int) -> list[np.ndarray]:
+    """Fetch many genomes' histograms in ONE device->host transfer.
+
+    On a tunneled/remote chip each fetch pays tens of ms of round-trip
+    latency regardless of size, so per-genome fetches dominate the counting
+    pipeline. Stacking on device and fetching once amortizes that RTT over
+    the whole in-flight batch."""
+    if not accs:
+        return []
+    if len(accs) == 1:
+        return [finalize_device_counts(accs[0], k)]
+    host = np.asarray(_stack_jit(tuple(accs)))
+    return [h.reshape(-1)[: 4**k].astype(np.int64) for h in host]
 
 
 def count_canonical_device(codes_u8: np.ndarray, k: int) -> np.ndarray:

@@ -177,8 +177,27 @@ class KmerCounter:
             return finalize_device_counts(payload, self.k)
         return payload
 
+    def count_finish_batch(self, tokens: list) -> list[np.ndarray]:
+        """Finalize many in-flight counts; device histograms are fetched in
+        ONE batched transfer (amortizing per-fetch link round-trip latency)."""
+        results: list[np.ndarray | None] = [None] * len(tokens)
+        dev_idx = [i for i, (kind, _) in enumerate(tokens) if kind == "device"]
+        if dev_idx:
+            from ..kernels.histogram import finalize_device_counts_batch
+
+            fetched = finalize_device_counts_batch([tokens[i][1] for i in dev_idx], self.k)
+            for i, h in zip(dev_idx, fetched):
+                results[i] = h
+        for i, (kind, payload) in enumerate(tokens):
+            if kind == "host":
+                results[i] = payload
+        return results  # type: ignore[return-value]
+
     def feature_vector_finish(self, token) -> np.ndarray:
         return self.count_finish(token)[self.vocab].astype(np.float64)
+
+    def feature_vector_finish_batch(self, tokens: list) -> list[np.ndarray]:
+        return [h[self.vocab].astype(np.float64) for h in self.count_finish_batch(tokens)]
 
     def feature_vector(self, seqs: list[np.ndarray]) -> np.ndarray:
         """Counts in canonical-vocab order (the `.kf` column order), float64."""
