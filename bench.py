@@ -39,16 +39,18 @@ def bench_train_steps() -> float:
     dist = dist.at[jnp.diag_indices(n_items)].set(0.0)
     runner = DistanceEpochRunner(mesh, dist_embed_apply, specs, n_items, batch)
 
-    # warmup / compile
+    # warmup / compile; NOTE: block_until_ready does not actually sync on
+    # tunneled platforms (axon) — only a real fetch (float()) does, so all
+    # timing sections here end with one
     for i in range(3):
         params, opt, loss = runner.run_epoch(params, opt, feats, dist, jax.random.fold_in(key, i), 1e-5)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_epochs = 30
     t0 = time.perf_counter()
     for i in range(n_epochs):
         params, opt, loss = runner.run_epoch(params, opt, feats, dist, jax.random.fold_in(key, 100 + i), 1e-5)
-    jax.block_until_ready(loss)
+    float(loss)  # sync
     dt = time.perf_counter() - t0
     steps = n_epochs * runner.n_batches
     return steps / dt
