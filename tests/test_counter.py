@@ -91,6 +91,29 @@ def test_pallas_interpret_matches_numpy():
     assert np.array_equal(got.astype(np.int64), ref)
 
 
+def test_async_batch_finalize_matches_numpy():
+    # deployed counting pipeline: N genomes dispatched async, one batched
+    # device->host fetch; also covers the multi-chunk on-device accumulation
+    from kf2vecfsw_tpu.kernels.histogram import (
+        count_canonical_device_async,
+        finalize_device_counts_batch,
+    )
+
+    rng = np.random.default_rng(4)
+    genomes = []
+    for _ in range(3):
+        seq = rng.choice(list(b"ACGTN"), size=60_000, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+        genomes.append(encode_bases(seq.tobytes()))
+    k = 5
+    accs = [count_canonical_device_async(g, k) for g in genomes]
+    hists = finalize_device_counts_batch(accs, k)
+    for g, h in zip(genomes, hists):
+        assert np.array_equal(h, count_canonical_numpy(g, k))
+    # single-element batch goes through the non-stacked path
+    single = finalize_device_counts_batch([count_canonical_device_async(genomes[0], k)], k)
+    assert np.array_equal(single[0], count_canonical_numpy(genomes[0], k))
+
+
 def test_pack_unpack_roundtrip():
     from kf2vecfsw_tpu.kernels import histogram as H
 

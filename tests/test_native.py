@@ -46,3 +46,32 @@ def test_native_count_invalid_boundaries(native):
     ref = count_canonical_numpy(codes, 5)
     got = native.count_canonical(codes, 5, n_threads=8)
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("k", [3, 7, 11])
+def test_native_count_le_fold_edge_cases(native, k):
+    # the LE+fold fast path has 8-base group boundaries: exercise inputs
+    # whose length/invalid placement hits every group-alignment case
+    rng = np.random.default_rng(1)
+    for n in (k, k + 1, k + 7, k + 8, 63, 64, 65, 1000):
+        for p_n in (0.0, 0.3):
+            seq = rng.choice(list(b"ACGTN"), size=n, p=[(1 - p_n) / 4] * 4 + [p_n]).astype(np.uint8)
+            codes = encode_bases(seq.tobytes())
+            assert np.array_equal(
+                native.count_canonical(codes, k), count_canonical_numpy(codes, k)
+            ), f"k={k} n={n} p_n={p_n}"
+
+
+def test_native_pack2bit_matches_numpy(native):
+    rng = np.random.default_rng(2)
+    for n in (8, 64, 4096, 1 << 17):
+        codes = rng.integers(0, 5, n, dtype=np.uint8)
+        res = native.pack2bit(codes)
+        if res is None:
+            pytest.skip("pack2bit missing from loaded .so")
+        packed, invbits = res
+        b = (codes & 3).reshape(-1, 4)
+        ref_packed = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4) | (b[:, 3] << 6)).astype(np.uint8)
+        ref_inv = np.packbits(codes == 4, bitorder="little")
+        assert np.array_equal(packed, ref_packed)
+        assert np.array_equal(invbits, ref_inv)
