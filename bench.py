@@ -120,9 +120,39 @@ def bench_vectorization() -> dict:
     }
 
 
+def bench_chunks() -> dict:
+    """get_chunks wall time on reference-scale input (3 multi-contig genomes
+    with N-runs, ~10 Mb total — the reference took 110 s on its toy log)."""
+    import os
+    import tempfile
+
+    from kf2vecfsw_tpu.ingest.chunks import get_chunks
+
+    rng = np.random.default_rng(7)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        dst = os.path.join(d, "out")
+        os.makedirs(src)
+        os.makedirs(dst)
+        for g in range(3):
+            with open(os.path.join(src, f"G{g}.fna"), "w") as f:
+                for c in range(4):
+                    seq = rng.choice(list("ACGT"), size=800_000)
+                    seq[100_000:100_050] = "N"  # an N-run per contig
+                    f.write(f">contig{c}\n{''.join(seq)}\n")
+        t0 = time.perf_counter()
+        get_chunks(src, dst, k=7)
+        dt = time.perf_counter() - t0
+    return {
+        "chunks_genomes_per_s": round(3 / dt, 3),
+        "chunks_vs_reference": round((110.0 / 3) / (dt / 3), 1),
+    }
+
+
 def main():
     steps_per_s = bench_train_steps()
     extra = bench_vectorization()
+    extra.update(bench_chunks())
     result = {
         "metric": "train_steps_per_s_per_chip",
         "value": round(steps_per_s, 3),
