@@ -8,7 +8,20 @@ main.py:344-357). Chunked `.kf` files hold one line per 10 kb window.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def _native():
+    if os.environ.get("KF2VEC_NO_NATIVE"):
+        return None
+    try:
+        from .native import lib as native_lib
+
+        return native_lib.load()
+    except Exception:
+        return None
 
 
 def float_repr(v: float) -> str:
@@ -28,8 +41,22 @@ def write_kf(path: str, rows: list[tuple[str, np.ndarray]]) -> None:
 def append_kf(f, name: str, values: np.ndarray) -> None:
     f.write(name)
     f.write(",")
-    f.write(",".join(float_repr(v) for v in values))
-    f.write("\n")
+    values = np.asarray(values, dtype=np.float64)
+    # fast path for integral rows (raw chunk counts): repr of an integral
+    # float64 below 1e16 is always "<int>.0", and str(int) is ~10x cheaper
+    # than repr(float) — this is 90% of get_chunks wall time otherwise
+    if values.size and np.abs(values).max() < 1e15 and not np.any(values % 1.0):
+        native = _native()
+        if native is not None:
+            line = native.format_counts(values.astype(np.int64))
+            if line is not None:
+                f.write(line)
+                return
+        f.write(".0,".join(map(str, values.astype(np.int64).tolist())))
+        f.write(".0\n")
+    else:
+        f.write(",".join(map(repr, values.tolist())))
+        f.write("\n")
 
 
 def _parse_values(rest: str) -> np.ndarray:

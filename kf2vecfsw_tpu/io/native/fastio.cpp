@@ -229,6 +229,33 @@ void kf2vec_pack2bit(const uint8_t* codes, int64_t n, uint8_t* packed,
   for (auto& th : threads) th.join();
 }
 
+// Format an int64 array as the reference's .kf row tail: each value as
+// "<int>.0" joined by commas, terminated by '\n'. Returns the byte length
+// written. out must have room for n * 22 bytes. This is the hot path of
+// chunked .kf writing (repr(float) in Python is ~90% of get_chunks time).
+int64_t kf2vec_format_counts(const int64_t* vals, int64_t n, char* out) {
+  char* p = out;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i) *p++ = ',';
+    int64_t v = vals[i];
+    if (v < 0) {
+      *p++ = '-';
+      v = -v;
+    }
+    char tmp[20];
+    int len = 0;
+    do {
+      tmp[len++] = (char)('0' + v % 10);
+      v /= 10;
+    } while (v);
+    while (len) *p++ = tmp[--len];
+    *p++ = '.';
+    *p++ = '0';
+  }
+  *p++ = '\n';
+  return p - out;
+}
+
 // Multithreaded canonical k-mer histogram. hist has 4^k zero-initialized
 // int64 entries. Fast path: per-thread uint32 little-endian histograms
 // (count_le_range) merged then folded to canonical bins once; uint32 bins

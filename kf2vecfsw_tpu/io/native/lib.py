@@ -40,6 +40,12 @@ class NativeIO:
             self._pack2bit = self._c.kf2vec_pack2bit
         except AttributeError:  # stale .so from an older build
             self._pack2bit = None
+        try:
+            self._c.kf2vec_format_counts.argtypes = [i64p, ctypes.c_int64, u8p]
+            self._c.kf2vec_format_counts.restype = ctypes.c_int64
+            self._format_counts = self._c.kf2vec_format_counts
+        except AttributeError:
+            self._format_counts = None
 
     @staticmethod
     def _u8(arr):
@@ -75,6 +81,16 @@ class NativeIO:
         threads = n_threads or min(16, os.cpu_count() or 1)
         self._pack2bit(self._u8(codes), codes.size, self._u8(packed), self._u8(invbits), threads)
         return packed, invbits
+
+    def format_counts(self, vals: np.ndarray) -> str | None:
+        """Render an int64 vector as 'v.0,v.0,...,v.0\\n' (reference .kf row
+        tail for integral counts); None if the .so predates this entry."""
+        if self._format_counts is None:
+            return None
+        vals = np.ascontiguousarray(vals, dtype=np.int64)
+        out = np.empty(max(1, vals.size * 22), dtype=np.uint8)
+        n = self._format_counts(self._i64(vals), vals.size, self._u8(out))
+        return out[:n].tobytes().decode("ascii")
 
     def parse_fasta_encoded(self, data: bytes) -> tuple[np.ndarray, np.ndarray]:
         """-> (encoded concat codes, record offsets len nrec+1)."""
