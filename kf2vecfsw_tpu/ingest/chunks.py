@@ -40,6 +40,24 @@ from ..utils.timing import hms
 _N_RUN = re.compile(rb"[N|n]+")
 
 
+def _canonical_window_codes(codes: np.ndarray, k: int, trash: int) -> np.ndarray:
+    """Canonical window codes with invalid windows sent to `trash`; native
+    single pass when built, vectorized numpy otherwise."""
+    if not os.environ.get("KF2VEC_NO_NATIVE"):
+        try:
+            from ..io.native import lib as native_lib
+
+            native = native_lib.load()
+        except Exception:
+            native = None
+        if native is not None:
+            out = native.window_codes(codes, k, trash)
+            if out is not None:
+                return out
+    canon, valid = window_codes_numpy(codes, k)
+    return np.where(valid, canon, trash)
+
+
 def clean_contig(seq: bytes) -> bytes:
     """awk N-squeeze then gap removal, in the reference's order."""
     seq = _N_RUN.sub(b"N", seq)
@@ -82,8 +100,7 @@ def chunk_rows_for_genome(
         if len(seq) < window:
             continue
         codes = encode_bases(seq)
-        canon, valid = window_codes_numpy(codes, k)
-        canon = np.where(valid, canon, nbins)  # trash bin for invalid windows
+        canon = _canonical_window_codes(codes, k, nbins)
         for start, end in window_spans(len(seq), window):
             n_kmers = end - start - k + 1
             hist = np.bincount(canon[start : start + n_kmers], minlength=nbins + 1)

@@ -229,6 +229,26 @@ void kf2vec_pack2bit(const uint8_t* codes, int64_t n, uint8_t* packed,
   for (auto& th : threads) th.join();
 }
 
+// Canonical window codes: out[i] = min(fwd, revcomp) code of the window
+// starting at i (int64, n-k+1 entries), or `trash` if the window contains
+// an invalid base. The vectorized-numpy equivalent is ~100x slower per byte.
+void kf2vec_window_codes(const uint8_t* codes, int64_t n, int k,
+                         int64_t trash, int64_t* out) {
+  if (n < k || k < 1 || k > 31) return;
+  const uint64_t mask = (2 * k < 64) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int rcs = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int64_t run = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t b = codes[i];
+    run = b < 4 ? run + 1 : 0;
+    fwd = ((fwd << 2) | (b & 3)) & mask;
+    rc = (rc >> 2) | ((uint64_t)((3 - b) & 3) << rcs);
+    if (i >= k - 1)
+      out[i - k + 1] = run >= k ? (int64_t)(fwd < rc ? fwd : rc) : trash;
+  }
+}
+
 // Format an int64 array as the reference's .kf row tail: each value as
 // "<int>.0" joined by commas, terminated by '\n'. Returns the byte length
 // written. out must have room for n * 22 bytes. This is the hot path of

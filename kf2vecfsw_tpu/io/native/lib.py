@@ -46,6 +46,13 @@ class NativeIO:
             self._format_counts = self._c.kf2vec_format_counts
         except AttributeError:
             self._format_counts = None
+        try:
+            self._c.kf2vec_window_codes.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, i64p,
+            ]
+            self._window_codes = self._c.kf2vec_window_codes
+        except AttributeError:
+            self._window_codes = None
 
     @staticmethod
     def _u8(arr):
@@ -81,6 +88,17 @@ class NativeIO:
         threads = n_threads or min(16, os.cpu_count() or 1)
         self._pack2bit(self._u8(codes), codes.size, self._u8(packed), self._u8(invbits), threads)
         return packed, invbits
+
+    def window_codes(self, codes: np.ndarray, k: int, trash: int) -> np.ndarray | None:
+        """Canonical window codes (int64, len n-k+1; invalid windows = trash);
+        None if the .so predates this entry point."""
+        if self._window_codes is None:
+            return None
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        out = np.empty(max(0, codes.size - k + 1), dtype=np.int64)
+        if out.size:
+            self._window_codes(self._u8(codes), codes.size, k, trash, self._i64(out))
+        return out
 
     def format_counts(self, vals: np.ndarray) -> str | None:
         """Render an int64 vector as 'v.0,v.0,...,v.0\\n' (reference .kf row
