@@ -33,6 +33,7 @@ import numpy as np
 from .. import defaults
 from ..io.fasta import encode_bases, list_sequence_files, read_sequences_raw, sample_name
 from ..io.kf import append_kf
+from ..io.native import lib as native_lib
 from ..kmer.counter import window_codes_numpy
 from ..kmer.vocab import canonical_vocab_codes
 from ..utils.timing import hms
@@ -43,17 +44,11 @@ _N_RUN = re.compile(rb"[N|n]+")
 def _canonical_window_codes(codes: np.ndarray, k: int, trash: int) -> np.ndarray:
     """Canonical window codes with invalid windows sent to `trash`; native
     single pass when built, vectorized numpy otherwise."""
-    if not os.environ.get("KF2VEC_NO_NATIVE"):
-        try:
-            from ..io.native import lib as native_lib
-
-            native = native_lib.load()
-        except Exception:
-            native = None
-        if native is not None:
-            out = native.window_codes(codes, k, trash)
-            if out is not None:
-                return out
+    native = native_lib.try_load()
+    if native is not None:
+        out = native.window_codes(codes, k, trash)
+        if out is not None:
+            return out
     canon, valid = window_codes_numpy(codes, k)
     return np.where(valid, canon, trash)
 

@@ -8,20 +8,9 @@ main.py:344-357). Chunked `.kf` files hold one line per 10 kb window.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
-
-def _native():
-    if os.environ.get("KF2VEC_NO_NATIVE"):
-        return None
-    try:
-        from .native import lib as native_lib
-
-        return native_lib.load()
-    except Exception:
-        return None
+from .native import lib as native_lib
 
 
 def float_repr(v: float) -> str:
@@ -46,7 +35,7 @@ def append_kf(f, name: str, values: np.ndarray) -> None:
     # float64 below 1e16 is always "<int>.0", and str(int) is ~10x cheaper
     # than repr(float) — this is 90% of get_chunks wall time otherwise
     if values.size and np.abs(values).max() < 1e15 and not np.any(values % 1.0):
-        native = _native()
+        native = native_lib.try_load()
         if native is not None:
             line = native.format_counts(values.astype(np.int64))
             if line is not None:

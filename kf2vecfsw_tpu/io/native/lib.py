@@ -91,8 +91,9 @@ class NativeIO:
 
     def window_codes(self, codes: np.ndarray, k: int, trash: int) -> np.ndarray | None:
         """Canonical window codes (int64, len n-k+1; invalid windows = trash);
-        None if the .so predates this entry point."""
-        if self._window_codes is None:
+        None if the .so predates this entry point or k is out of the C++
+        kernel's [1, 31] range (the C side no-ops without filling out)."""
+        if self._window_codes is None or not 1 <= k <= 31:
             return None
         codes = np.ascontiguousarray(codes, dtype=np.uint8)
         out = np.empty(max(0, codes.size - k + 1), dtype=np.int64)
@@ -140,15 +141,24 @@ def _build() -> bool:
         return False
 
 
+def try_load() -> NativeIO | None:
+    """load() that never raises — the shared guard for every optional-native
+    call site (KF2VEC_NO_NATIVE handling lives inside load())."""
+    try:
+        return load()
+    except Exception:
+        return None
+
+
 def load() -> NativeIO | None:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib, _tried
+    if os.environ.get("KF2VEC_NO_NATIVE"):  # honored at call time, not cached
+        return None
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if os.environ.get("KF2VEC_NO_NATIVE"):
-            return None
         if not os.path.exists(_SO) and not _build():
             return None
         try:

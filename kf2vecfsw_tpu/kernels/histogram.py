@@ -113,17 +113,13 @@ def pack_2bit(codes_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     else:
         padded = np.full(n_pad, INVALID, dtype=np.uint8)
         padded[:n] = codes_u8
-    if not os.environ.get("KF2VEC_NO_NATIVE"):
-        try:
-            from ..io.native import lib as native_lib
+    from ..io.native import lib as native_lib
 
-            native = native_lib.load()
-        except Exception:
-            native = None
-        if native is not None:
-            res = native.pack2bit(padded)
-            if res is not None:
-                return res[0], res[1], n
+    native = native_lib.try_load()
+    if native is not None:
+        res = native.pack2bit(padded)
+        if res is not None:
+            return res[0], res[1], n
     b = (padded & 3).reshape(-1, 4)
     packed = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4) | (b[:, 3] << 6)).astype(np.uint8)
     inv_bits = np.packbits(padded == INVALID, bitorder="little")

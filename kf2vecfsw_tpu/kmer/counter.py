@@ -113,12 +113,9 @@ class KmerCounter:
         return b
 
     def _native(self):
-        try:
-            from ..io.native import lib as native_lib
+        from ..io.native import lib as native_lib
 
-            return native_lib.load()
-        except Exception:
-            return None
+        return native_lib.try_load()
 
     def _use_device(self, n_bases: int) -> bool:
         backend = self._resolved_backend()
@@ -144,7 +141,8 @@ class KmerCounter:
 
     def _host_count(self, codes: np.ndarray) -> np.ndarray:
         """CPU path: native multithreaded counter if built, else numpy."""
-        if self._resolved_backend() != "numpy" and not os.environ.get("KF2VEC_NO_NATIVE"):
+        if self._resolved_backend() != "numpy":
+            # KF2VEC_NO_NATIVE is honored inside try_load()
             native = self._native()
             if native is not None:
                 return native.count_canonical(codes, self.k)

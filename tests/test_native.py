@@ -62,6 +62,30 @@ def test_native_count_le_fold_edge_cases(native, k):
             ), f"k={k} n={n} p_n={p_n}"
 
 
+@pytest.mark.parametrize("k", [1, 2, 5, 7, 11, 31])
+def test_native_window_codes_matches_numpy(native, k):
+    rng = np.random.default_rng(3)
+    for n in (k, k + 1, 1000, 20_000):
+        seq = rng.choice(list(b"ACGTN"), size=n, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+        codes = encode_bases(seq.tobytes())
+        got = native.window_codes(codes, k, 4**k if k <= 13 else 2**62)
+        if got is None:
+            pytest.skip("window_codes missing from loaded .so")
+        from kf2vecfsw_tpu.kmer.counter import window_codes_numpy
+
+        canon, valid = window_codes_numpy(codes, k)
+        ref = np.where(valid, canon, 4**k if k <= 13 else 2**62)
+        assert np.array_equal(got, ref), f"k={k} n={n}"
+
+
+def test_native_window_codes_rejects_out_of_range_k(native):
+    # the C++ kernel no-ops for k outside [1,31]; the wrapper must return
+    # None rather than an uninitialized buffer
+    codes = np.zeros(100, dtype=np.uint8)
+    assert native.window_codes(codes, 0, 1) is None
+    assert native.window_codes(codes, 40, 1) is None
+
+
 def test_native_pack2bit_matches_numpy(native):
     rng = np.random.default_rng(2)
     for n in (8, 64, 4096, 1 << 17):
