@@ -132,6 +132,112 @@ class ChunkStore:
         return out
 
 
+class DeviceChunkStore:
+    """Device-resident chunk re-aggregation (SURVEY §5: "a jitted segment-sum
+    over a chunk-count matrix resident in device memory").
+
+    Per-genome prefix sums over the chunk axis live in HBM as one
+    (G, Cmax+1, V) int32 array; a random contiguous span-sum is then two
+    gathered rows and a subtraction, so sampling fuses into the jitted train
+    step and the host never materializes a batch. Span semantics match the
+    host sampler (datasets.py:48-53): length = floor(Exp(c/5))+1, re-drawn
+    uniform on [1, c] when over c, start uniform.
+
+    Falls back (see fits()) for clades whose prefix array would not fit the
+    device budget — the host ChunkStore streaming path keeps those training.
+    """
+
+    def __init__(self, matrices: list[np.ndarray], scaler: float = defaults.FEATURES_SCALER):
+        g = len(matrices)
+        v = matrices[0].shape[1]
+        self.counts = np.array([m.shape[0] for m in matrices], dtype=np.int32)
+        cmax = int(self.counts.max())
+        prefix = np.zeros((g, cmax + 1, v), dtype=np.int32)
+        for i, m in enumerate(matrices):
+            ci = m.shape[0]
+            p = np.cumsum(m.astype(np.int64), axis=0)
+            prefix[i, 1 : ci + 1] = p
+            prefix[i, ci + 1 :] = p[-1]
+        self.prefix = jax.device_put(prefix)
+        self.counts_dev = jax.device_put(self.counts)
+        self.scaler = float(scaler)
+
+    @staticmethod
+    def nbytes(matrices: list[np.ndarray]) -> int:
+        cmax = max(m.shape[0] for m in matrices)
+        return len(matrices) * (cmax + 1) * matrices[0].shape[1] * 4
+
+    @staticmethod
+    def fits(matrices: list[np.ndarray]) -> bool:
+        budget = int(os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET", 4 << 30))
+        return DeviceChunkStore.nbytes(matrices) <= budget
+
+    def _sample_one(self, key, gi):
+        c = self.counts_dev[gi]
+        k1, k2, k3 = jax.random.split(key, 3)
+        nrows = jnp.floor(jax.random.exponential(k1) * (c.astype(jnp.float32) / 5.0)).astype(jnp.int32) + 1
+        alt = jax.random.randint(k2, (), 1, c + 1)
+        nrows = jnp.where(nrows > c, alt, nrows)
+        ix = jax.random.randint(k3, (), 0, c - nrows + 1)
+        row = self.prefix[gi]
+        vec = (row[ix + nrows] - row[ix]).astype(jnp.float32)
+        total = jnp.sum(vec)
+        return jnp.where(total > 0, vec / total, 0.0) * self.scaler
+
+    def sample_batch(self, key, genome_indices, draws: int):
+        """(len(indices)*draws, V) float32, `draws` consecutive rows per
+        genome — jit-traceable; genome_indices is a (B,) int32 array."""
+        b = genome_indices.shape[0]
+        keys = jax.random.split(key, b * draws)
+        gis = jnp.repeat(genome_indices, draws)
+        return jax.vmap(self._sample_one)(keys, gis)
+
+
+def make_chunked_epoch_runner(loss_and_grad_step, dstore, n_items: int, batch_size: int, draws: int):
+    """One jitted XLA program per chunked epoch: lax.scan over full batches
+    with device-side span sampling, plus one traced tail step for a
+    non-divisible last batch. loss_and_grad_step(params, opt, x, gidx, lr)
+    -> (params, opt, aux) where aux is a pytree of per-batch scalars.
+
+    Returns run_epoch(params, opt, key, perm, lr) -> (params, opt, aux_stacked)
+    with aux entries ordered [full batches..., tail?]."""
+    n_full = n_items // batch_size
+    tail = n_items - n_full * batch_size
+
+    @jax.jit
+    def run_full(params, opt, key, perm, lr):
+        def body(carry, bi):
+            params, opt = carry
+            gidx = jax.lax.dynamic_slice_in_dim(perm, bi * batch_size, batch_size)
+            x = dstore.sample_batch(jax.random.fold_in(key, bi), gidx, draws)
+            params, opt, aux = loss_and_grad_step(params, opt, x, gidx, lr)
+            return (params, opt), aux
+
+        (params, opt), aux = jax.lax.scan(body, (params, opt), jnp.arange(n_full))
+        return params, opt, aux
+
+    @jax.jit
+    def run_tail(params, opt, key, gidx, lr):
+        x = dstore.sample_batch(key, gidx, draws)
+        return loss_and_grad_step(params, opt, x, gidx, lr)
+
+    def run_epoch(params, opt, key, perm, lr):
+        perm = jnp.asarray(perm, dtype=jnp.int32)
+        aux_parts = []
+        if n_full:
+            params, opt, aux = run_full(params, opt, key, perm[: n_full * batch_size], lr)
+            aux_parts.append(aux)
+        if tail:
+            params, opt, aux_t = run_tail(
+                params, opt, jax.random.fold_in(key, n_full), perm[n_full * batch_size :], lr
+            )
+            aux_parts.append(jax.tree.map(lambda a: jnp.asarray(a)[None], aux_t))
+        aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
+        return params, opt, aux
+
+    return run_epoch
+
+
 def _prefetch(batches_iter, depth: int = 2):
     """Tiny background-thread prefetcher for host-sampled batches."""
     q: Queue = Queue(maxsize=depth)
@@ -226,19 +332,35 @@ def train_model_set_chunks_func(
             log.info(f"Total parameters: {count_params(params)}")
 
             x_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            dstore = DeviceChunkStore(store.matrices) if DeviceChunkStore.fits(store.matrices) else None
+            if dstore is not None:
+                log.info("Chunk store: device-resident prefix sums (sampling fused into the train step)")
+            else:
+                log.info("Chunk store: host streaming (prefix array exceeds device budget)")
+
+            def loss_from_x(p, x, idx):
+                emb = dist_embed_apply(p, x)
+                md = pairwise_l2_exact(emb)
+                ridx = jnp.repeat(idx, 2)
+                td = dist_dev[jnp.ix_(ridx, ridx)]
+                return chunks_weighted_sqrt_mse(md, td)
 
             @jax.jit
             def step(params, opt, x, idx, lr):
-                def loss_fn(p):
-                    emb = dist_embed_apply(p, x)
-                    md = pairwise_l2_exact(emb)
-                    ridx = jnp.repeat(idx, 2)
-                    td = dist_dev[jnp.ix_(ridx, ridx)]
-                    return chunks_weighted_sqrt_mse(md, td)
-
-                loss, grads = jax.value_and_grad(loss_fn)(params)
+                loss, grads = jax.value_and_grad(loss_from_x)(params, x, idx)
                 params, opt = adam_update(params, grads, opt, lr)
                 return params, opt, loss
+
+            def loss_and_grad_step(params, opt, x, idx, lr):
+                loss, grads = jax.value_and_grad(loss_from_x)(params, x, idx)
+                params, opt = adam_update(params, grads, opt, lr)
+                return params, opt, loss
+
+            run_epoch = (
+                make_chunked_epoch_runner(loss_and_grad_step, dstore, n_items, batch_size, draws=2)
+                if dstore is not None
+                else None
+            )
 
             n_batches = max(1, math.ceil(n_items / batch_size))
             stop_epochs = int(math.ceil(n_items / batch_size * 2))
@@ -254,31 +376,52 @@ def train_model_set_chunks_func(
                 "model_embedding_size": embedding_size,
             }
 
+            epoch_key = jax.random.fold_in(key, 17)
             for epoch in range(num_epochs):
                 lr = step_lr(epoch, lr0, lr_min, lr_decay)
                 perm = rng.permutation(n_items)
-                epoch_loss, items = 0.0, 0.0
+                batch_sizes = [
+                    len(perm[bi * batch_size : (bi + 1) * batch_size]) for bi in range(n_batches)
+                ]
+                losses = []
 
-                def batches():
-                    for bi in range(n_batches):
-                        gidx = perm[bi * batch_size : (bi + 1) * batch_size]
-                        x = store.sample_batch(rng, gidx, draws=2)
-                        yield gidx.astype(np.int32), x
+                if run_epoch is not None:
+                    # the whole epoch (device-side sampling + all steps) is
+                    # one XLA program; losses are fetched ONCE per epoch (a
+                    # per-batch fetch pays a full link round trip on remote
+                    # chips)
+                    params, opt, loss_stack = run_epoch(
+                        params, opt, jax.random.fold_in(epoch_key, epoch), perm, jnp.float32(lr)
+                    )
+                    losses = [loss_stack]
+                else:
 
-                for bi, (gidx, x) in enumerate(_prefetch(batches())):
-                    x_dev = jax.device_put(x, x_sharding) if x.shape[0] % mesh.shape[DATA_AXIS] == 0 else x
-                    params, opt, loss = step(params, opt, x_dev, gidx, jnp.float32(lr))
-                    loss = float(loss)
-                    if epoch > 5 and loss > 0.2:
+                    def batches():
+                        for bi in range(n_batches):
+                            gidx = perm[bi * batch_size : (bi + 1) * batch_size]
+                            x = store.sample_batch(rng, gidx, draws=2)
+                            yield gidx.astype(np.int32), x
+
+                    for gidx, x in _prefetch(batches()):
+                        x_dev = jax.device_put(x, x_sharding) if x.shape[0] % mesh.shape[DATA_AXIS] == 0 else x
+                        params, opt, loss = step(params, opt, x_dev, gidx, jnp.float32(lr))
+                        losses.append(loss)
+
+                loss_vals = np.asarray(
+                    jax.device_get(losses[0] if run_epoch is not None else jnp.stack(losses)),
+                    dtype=np.float64,
+                )
+                for bi, lv in enumerate(loss_vals):
+                    if epoch > 5 and lv > 0.2:
                         log.info(
                             f"Epoch [{epoch + 1}/{num_epochs}], Step [{bi + 1}/{n_batches}], "
-                            f"Outlier: {loss:.20f} batch size: {x.shape[0]}"
+                            f"Outlier: {lv:.20f} batch size: {batch_sizes[bi] * 2}"
                         )
-                    if math.isnan(loss):
-                        log.info(f"Loss: {loss}")
-                    epoch_loss += loss * len(gidx)
-                    items += len(gidx)
-                epoch_loss /= max(items, 1)
+                    if math.isnan(lv):
+                        log.info(f"Loss: {lv}")
+                epoch_loss = float(
+                    (loss_vals * np.array(batch_sizes)).sum() / max(sum(batch_sizes), 1)
+                )
 
                 if epoch_loss < lowest:
                     lowest, best_epoch, best_params = epoch_loss, epoch, params
@@ -387,40 +530,71 @@ def train_classifier_chunks_func(
         opt = adam_init(params)
         log.info(f"Total parameters: {count_params(params)}")
 
+        def loss_from_x(p, x, idx):
+            lp = classifier_apply(p, x)
+            y = labels_dev[idx]
+            loss = nll_loss(lp, y)
+            correct = jnp.sum(jnp.argmax(lp, axis=1) == y)
+            return loss, correct
+
         @jax.jit
         def step(params, opt, x, idx, lr):
-            def loss_fn(p):
-                lp = classifier_apply(p, x)
-                y = labels_dev[idx]
-                loss = nll_loss(lp, y)
-                correct = jnp.sum(jnp.argmax(lp, axis=1) == y)
-                return loss, correct
-
-            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, correct), grads = jax.value_and_grad(loss_from_x, has_aux=True)(params, x, idx)
             params, opt = adam_update(params, grads, opt, lr)
             return params, opt, loss, correct
 
+        dstore = DeviceChunkStore(store.matrices) if DeviceChunkStore.fits(store.matrices) else None
+        log.info(
+            "Chunk store: device-resident prefix sums"
+            if dstore is not None
+            else "Chunk store: host streaming (prefix array exceeds device budget)"
+        )
+
+        def loss_and_grad_step(params, opt, x, idx, lr):
+            (loss, correct), grads = jax.value_and_grad(loss_from_x, has_aux=True)(params, x, idx)
+            params, opt = adam_update(params, grads, opt, lr)
+            return params, opt, (loss, correct)
+
         rng = np.random.default_rng(seed)
+        key = jax.random.fold_in(key, 23)
         n_batches = max(1, math.ceil(n_items / batch_size))
+        run_epoch = (
+            make_chunked_epoch_runner(loss_and_grad_step, dstore, n_items, batch_size, draws=1)
+            if dstore is not None
+            else None
+        )
         lowest, best_epoch, best_params, highest_acc = math.inf, -1, params, -1.0
 
         for epoch in range(num_epochs):
             lr = step_lr(epoch, lr0, lr_min, lr_decay)
             perm = rng.permutation(n_items)
-            epoch_loss, correct, items = 0.0, 0.0, 0.0
+            batch_sizes = [
+                len(perm[bi * batch_size : (bi + 1) * batch_size]) for bi in range(n_batches)
+            ]
 
-            def batches():
-                for bi in range(n_batches):
-                    gidx = perm[bi * batch_size : (bi + 1) * batch_size]
-                    yield gidx.astype(np.int32), store.sample_batch(rng, gidx, draws=1)
+            if run_epoch is not None:
+                params, opt, (loss_stack, corr_stack) = run_epoch(
+                    params, opt, jax.random.fold_in(key, epoch), perm, jnp.float32(lr)
+                )
+            else:
+                losses, corrects = [], []
 
-            for gidx, x in _prefetch(batches()):
-                params, opt, loss, corr = step(params, opt, x, gidx, jnp.float32(lr))
-                epoch_loss += float(loss) * len(gidx)
-                correct += float(corr)
-                items += len(gidx)
-            epoch_loss /= max(items, 1)
-            acc = correct / max(items, 1)
+                def batches():
+                    for bi in range(n_batches):
+                        gidx = perm[bi * batch_size : (bi + 1) * batch_size]
+                        yield gidx.astype(np.int32), store.sample_batch(rng, gidx, draws=1)
+
+                for gidx, x in _prefetch(batches()):
+                    params, opt, loss, corr = step(params, opt, x, gidx, jnp.float32(lr))
+                    losses.append(loss)
+                    corrects.append(corr)
+                loss_stack, corr_stack = jnp.stack(losses), jnp.stack(corrects)
+
+            loss_vals = np.asarray(jax.device_get(loss_stack), dtype=np.float64)
+            corr_vals = np.asarray(jax.device_get(corr_stack), dtype=np.float64)
+            items = max(sum(batch_sizes), 1)
+            epoch_loss = float((loss_vals * np.array(batch_sizes)).sum() / items)
+            acc = float(corr_vals.sum() / items)
 
             if epoch_loss < lowest:
                 lowest, highest_acc, best_epoch, best_params = epoch_loss, acc, epoch, params

@@ -7,6 +7,7 @@ import pytest
 from kf2vecfsw_tpu.io.kf import write_kf
 from kf2vecfsw_tpu.train.chunks import (
     ChunkStore,
+    DeviceChunkStore,
     train_classifier_chunks_func,
     train_model_set_chunks_func,
 )
@@ -54,6 +55,64 @@ def test_chunk_store_sampling():
         assert x.shape == (6, V)
         # normalized to features_scaler
         assert np.allclose(x.sum(axis=1), 1e4, rtol=1e-4)
+
+
+def test_device_chunk_store_sampling():
+    """Every device-sampled vector must be a normalized contiguous span sum
+    (SURVEY §5 device-resident re-aggregation) with the Siamese 2-row layout."""
+    import tempfile
+
+    import jax
+
+    with tempfile.TemporaryDirectory() as td:
+        chunks_dir, *_ = _make_fixture(td)
+        store = ChunkStore(sorted(glob.glob(os.path.join(chunks_dir, "*.kf"))))
+        assert DeviceChunkStore.fits(store.matrices)
+        dstore = DeviceChunkStore(store.matrices)
+
+        # all valid normalized span sums per genome
+        valid: list[np.ndarray] = []
+        for m in store.matrices:
+            spans = []
+            c = m.shape[0]
+            for s in range(c):
+                for e in range(s + 1, c + 1):
+                    v = m[s:e].sum(axis=0).astype(np.float64)
+                    spans.append(v / v.sum() * 1e4)
+            valid.append(np.array(spans))
+
+        gidx = np.array([0, 1, 2], dtype=np.int32)
+        for trial in range(5):
+            x = np.asarray(dstore.sample_batch(jax.random.PRNGKey(trial), gidx, draws=2))
+            assert x.shape == (6, V)
+            assert np.allclose(x.sum(axis=1), 1e4, rtol=1e-4)
+            for row in range(6):
+                g = gidx[row // 2]
+                # f32 device normalization vs f64 host: allow small tolerance
+                best = np.abs(valid[g] - x[row]).max(axis=1).min()
+                assert best < 1e-2, f"row {row} is not a valid span sum of genome {g} ({best})"
+
+
+def test_device_chunk_store_span_distribution():
+    """Span lengths follow floor(Exp(c/5))+1 (mean ~ c/5 for large c)."""
+    import jax
+
+    c = 100
+    key = jax.random.PRNGKey(0)
+    lengths = []
+    # one-hot rows per chunk index: the normalized span sum reveals exactly
+    # which chunks the span covered
+    eye = np.eye(c, dtype=np.uint16)
+    dstore2 = DeviceChunkStore([eye], scaler=1.0)
+    for t in range(300):
+        vec = np.asarray(dstore2._sample_one(jax.random.fold_in(key, t), 0))
+        nz = np.flatnonzero(vec > 0)
+        assert nz.size >= 1
+        assert np.all(np.diff(nz) == 1), "span must be contiguous"
+        lengths.append(nz.size)
+    mean = np.mean(lengths)
+    # Exp(c/5) mean = 20 -> floor+1 ~ 20.5, with the over-c redraw pulling up
+    assert 12 < mean < 35, mean
 
 
 def test_chunk_store_cap():
