@@ -25,7 +25,7 @@ from ..models.fsw import fsw_dist_embed_apply
 from ..models.mlp import dist_embed_apply
 from ..ops.pairwise import cdist_exact_blocked, squared_clamped
 from ..train.checkpoint import load_checkpoint
-from ..train.distance import f32_str, pad_point_sets
+from ..train.distance import f32_row, pad_point_sets
 from ..utils.logging import close_logger, make_run_logger
 from ..utils.timing import hms
 
@@ -135,9 +135,9 @@ def query_func(
                     )
                     labels = [remap.get(n, n) for n in names] if remap else names
                     for lbl, drow in zip(labels, d):
-                        f_dist.write(lbl + "\t" + "\t".join(f32_str(v) for v in drow) + "\n")
+                        f_dist.write(lbl + "\t" + f32_row(drow))
                     for lbl, erow in zip(labels, outputs):
-                        f_emb.write(lbl + "\t" + "\t".join(f32_str(v) for v in erow) + "\n")
+                        f_emb.write(lbl + "\t" + f32_row(erow))
             written += [dist_path, emb_path]
             log.info(f"Wrote distance matrix: {dist_path}")
             log.info(f"Wrote embeddings: {emb_path}")

@@ -44,6 +44,12 @@ def append_kf(f, name: str, values: np.ndarray) -> None:
         f.write(".0,".join(map(str, values.astype(np.int64).tolist())))
         f.write(".0\n")
     else:
+        native = native_lib.try_load()
+        if native is not None:
+            line = native.format_doubles(values, sep=",")
+            if line is not None:
+                f.write(line)
+                return
         f.write(",".join(map(repr, values.tolist())))
         f.write("\n")
 

@@ -53,6 +53,18 @@ class NativeIO:
             self._window_codes = self._c.kf2vec_window_codes
         except AttributeError:
             self._window_codes = None
+        f64p = ctypes.POINTER(ctypes.c_double)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        try:
+            self._c.kf2vec_format_doubles.argtypes = [f64p, ctypes.c_int64, u8p, ctypes.c_char]
+            self._c.kf2vec_format_doubles.restype = ctypes.c_int64
+            self._format_doubles = self._c.kf2vec_format_doubles
+            self._c.kf2vec_format_floats.argtypes = [f32p, ctypes.c_int64, u8p, ctypes.c_char]
+            self._c.kf2vec_format_floats.restype = ctypes.c_int64
+            self._format_floats = self._c.kf2vec_format_floats
+        except AttributeError:
+            self._format_doubles = None
+            self._format_floats = None
 
     @staticmethod
     def _u8(arr):
@@ -100,6 +112,32 @@ class NativeIO:
         if out.size:
             self._window_codes(self._u8(codes), codes.size, k, trash, self._i64(out))
         return out
+
+    def format_doubles(self, vals: np.ndarray, sep: str = ",") -> str | None:
+        """py-repr renderings of a float64 vector joined by sep + '\\n';
+        None if the .so predates this entry point."""
+        if self._format_doubles is None:
+            return None
+        vals = np.ascontiguousarray(vals, dtype=np.float64)
+        out = np.empty(max(1, vals.size * 26), dtype=np.uint8)
+        n = self._format_doubles(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), vals.size,
+            self._u8(out), sep.encode()[0],
+        )
+        return out[:n].tobytes().decode("ascii")
+
+    def format_floats(self, vals: np.ndarray, sep: str = "\t") -> str | None:
+        """str(np.float32) renderings of a float32 vector joined by sep + '\\n'."""
+        if self._format_floats is None:
+            return None
+        vals = np.ascontiguousarray(vals, dtype=np.float32)
+        # worst case: "-9999999986991104.0" (E=15 fixed) + sep = 21 bytes
+        out = np.empty(max(1, vals.size * 22), dtype=np.uint8)
+        n = self._format_floats(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), vals.size,
+            self._u8(out), sep.encode()[0],
+        )
+        return out[:n].tobytes().decode("ascii")
 
     def format_counts(self, vals: np.ndarray) -> str | None:
         """Render an int64 vector as 'v.0,v.0,...,v.0\\n' (reference .kf row

@@ -44,6 +44,18 @@ def f32_str(v) -> str:
     return str(np.float32(v))
 
 
+def f32_row(vals, sep: str = "\t") -> str:
+    """One str(np.float32)-formatted row ending in '\\n' (native fast path)."""
+    from ..io.native import lib as native_lib
+
+    native = native_lib.try_load()
+    if native is not None:
+        line = native.format_floats(np.asarray(vals, dtype=np.float32), sep=sep)
+        if line is not None:
+            return line
+    return sep.join(f32_str(v) for v in vals) + "\n"
+
+
 def read_test_ids(path: str | None) -> list[str]:
     """-test_set file: one filename per line, extension stripped
     (utils.py:440-454)."""
@@ -94,11 +106,11 @@ def export_embeddings(
     with open(dis_path, "w") as f:
         f.write("\t" + "\t".join(backbone_names) + "\n")
         for name, row in zip(backbone_names, dist):
-            f.write(name + "\t" + "\t".join(f32_str(v) for v in row) + "\n")
+            f.write(name + "\t" + f32_row(row))
     emb_path = os.path.join(out_dir, f"embeddings_subtree_{clade}.csv")
     with open(emb_path, "w") as f:
         for name, row in zip(backbone_names, outputs):
-            f.write(name + "\t" + "\t".join(f32_str(v) for v in row) + "\n")
+            f.write(name + "\t" + f32_row(row))
     if log:
         log.info(
             f"Dimensions of distortion matrix rows:{len(backbone_names)} "

@@ -52,14 +52,24 @@ def leaf_distance_matrix(tree: Tree) -> tuple[list[str], np.ndarray]:
 
 def write_di_mtrx(path: str, labels: list[str], dist: np.ndarray) -> None:
     """Write a tab-separated .di_mtrx with header and index column, matching
-    the reference's pandas to_csv format (main.py:471,502)."""
+    the reference's pandas to_csv format (main.py:471,502). Rows render via
+    the native py-repr formatter when built (repr() in Python dominates the
+    wall time of large-tree exports otherwise)."""
+    from ..io.native import lib as native_lib
+
+    native = native_lib.try_load()
     with open(path, "w") as f:
         f.write("\t" + "\t".join(labels) + "\n")
         for i, lbl in enumerate(labels):
-            f.write(lbl)
-            for v in dist[i]:
-                f.write("\t" + repr(float(v)))
-            f.write("\n")
+            row = np.asarray(dist[i], dtype=np.float64)
+            line = native.format_doubles(row, sep="\t") if native is not None else None
+            if line is not None:
+                f.write(lbl + "\t" + line)
+            else:
+                f.write(lbl)
+                for v in row:
+                    f.write("\t" + repr(float(v)))
+                f.write("\n")
 
 
 def read_di_mtrx(path: str) -> tuple[list[str], list[str], np.ndarray]:

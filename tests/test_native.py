@@ -86,6 +86,35 @@ def test_native_window_codes_rejects_out_of_range_k(native):
     assert native.window_codes(codes, 40, 1) is None
 
 
+def test_native_format_doubles_matches_repr(native):
+    rng = np.random.default_rng(5)
+    vals = np.concatenate(
+        [rng.random(20_000) * s * sign for s in (1e-300, 1e-5, 1e-4, 1.0, 1e15, 1e16, 1e300) for sign in (1, -1)]
+        + [np.array([0.0, -0.0, 1.0, 1e16, 1e-4, 9.999999999999999e-5, 5e-324, 9999999999999998.0])]
+    )
+    line = native.format_doubles(vals, sep=",")
+    if line is None:
+        pytest.skip("format_doubles missing from loaded .so")
+    got = line[:-1].split(",")
+    assert line.endswith("\n")
+    for v, g in zip(vals.tolist(), got):
+        assert repr(v) == g, (repr(v), g)
+
+
+def test_native_format_floats_matches_numpy_str(native):
+    rng = np.random.default_rng(6)
+    vals = np.concatenate(
+        [(rng.random(20_000) * s * sign).astype(np.float32) for s in (1e-38, 1e-4, 1.0, 1e15, 1e16, 1e38) for sign in (1, -1)]
+        + [np.array([0.0, -0.0, 1e-4, 1.4e-45, 3.4028235e38, 9.9999996e15, 1.00000003e16], dtype=np.float32)]
+    ).astype(np.float32)
+    line = native.format_floats(vals, sep="\t")
+    if line is None:
+        pytest.skip("format_floats missing from loaded .so")
+    got = line[:-1].split("\t")
+    for v, g in zip(vals, got):
+        assert str(v) == g, (str(v), g)
+
+
 def test_native_pack2bit_matches_numpy(native):
     rng = np.random.default_rng(2)
     for n in (8, 64, 4096, 1 << 17):
