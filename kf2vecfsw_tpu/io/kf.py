@@ -55,11 +55,26 @@ def append_kf(f, name: str, values: np.ndarray) -> None:
 
 
 def _parse_values(rest: str) -> np.ndarray:
+    native = native_lib.try_load()
+    if native is not None:
+        out = native.parse_doubles(rest.encode("ascii", "replace"))
+        if out is not None:
+            return out
     return np.array(rest.split(","), dtype=np.float64)
 
 
 def read_kf(path: str, dtype=np.float64) -> tuple[list[str], np.ndarray]:
-    """Read a .kf file -> (names, (rows, V) float array)."""
+    """Read a .kf file -> (names, (rows, V) float array). Whole-file native
+    parse when built (~10x: the read path is parse-bound)."""
+    native = native_lib.try_load()
+    if native is not None:
+        with open(path, "rb") as fb:
+            res = native.parse_table(fb.read())
+        if res is not None:
+            names, mat = res
+            if not names:
+                return names, np.zeros((0, 0), dtype=dtype)
+            return names, mat.astype(dtype, copy=False)
     names: list[str] = []
     rows: list[np.ndarray] = []
     with open(path) as f:

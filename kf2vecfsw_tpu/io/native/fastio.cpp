@@ -383,6 +383,69 @@ int64_t kf2vec_format_floats(const float* vals, int64_t n, char* out,
   return p - out;
 }
 
+// Parse a separator-delimited (',' '\t' ' ') run of decimal floats into
+// out (capacity max_vals). Returns the count, or -1 on a malformed token /
+// capacity overflow. ~10x faster than Python str.split + np.array(float64):
+// the .kf / .di_mtrx read path is parse-bound.
+int64_t kf2vec_parse_doubles(const char* s, int64_t len, double* out,
+                             int64_t max_vals) {
+  const char* p = s;
+  const char* end = s + len;
+  int64_t n = 0;
+  while (p < end) {
+    while (p < end && (*p == ',' || *p == '\t' || *p == ' ' || *p == '\n' ||
+                       *p == '\r'))
+      ++p;
+    if (p >= end) break;
+    if (n >= max_vals) return -1;
+    auto res = std::from_chars(p, end, out[n]);
+    if (res.ec != std::errc()) return -1;
+    ++n;
+    p = res.ptr;
+  }
+  return n;
+}
+
+// Parse an entire name-prefixed numeric table (.kf: "name,v1,...\n" rows;
+// .di_mtrx body: "name\tv1\t...\n"). Fills vals row-major, records
+// [start,end) byte offsets of each row's name in name_spans (2 per row).
+// Every row must have the same value count. Returns the row count and sets
+// *cols_out; -1 on malformed input or capacity overflow.
+int64_t kf2vec_parse_table(const char* s, int64_t len, double* vals,
+                           int64_t max_vals, int64_t* name_spans,
+                           int64_t max_rows, int64_t* cols_out) {
+  const char* p = s;
+  const char* end = s + len;
+  int64_t rows = 0, nvals = 0, cols = -1;
+  while (p < end) {
+    while (p < end && (*p == '\n' || *p == '\r')) ++p;
+    if (p >= end) break;
+    if (rows >= max_rows) return -1;
+    const char* name_start = p;
+    while (p < end && *p != ',' && *p != '\t' && *p != '\n') ++p;
+    if (p >= end || *p == '\n') return -1;  // row with no values
+    name_spans[2 * rows] = name_start - s;
+    name_spans[2 * rows + 1] = p - s;
+    int64_t row_vals = 0;
+    while (p < end && *p != '\n') {
+      while (p < end && (*p == ',' || *p == '\t' || *p == ' ' || *p == '\r'))
+        ++p;
+      if (p >= end || *p == '\n') break;
+      if (nvals >= max_vals) return -1;
+      auto res = std::from_chars(p, end, vals[nvals]);
+      if (res.ec != std::errc()) return -1;
+      ++nvals;
+      ++row_vals;
+      p = res.ptr;
+    }
+    if (cols < 0) cols = row_vals;
+    if (row_vals != cols) return -1;
+    ++rows;
+  }
+  *cols_out = cols < 0 ? 0 : cols;
+  return rows;
+}
+
 // Multithreaded canonical k-mer histogram. hist has 4^k zero-initialized
 // int64 entries. Fast path: per-thread uint32 little-endian histograms
 // (count_le_range) merged then folded to canonical bins once; uint32 bins

@@ -56,6 +56,23 @@ class NativeIO:
         f64p = ctypes.POINTER(ctypes.c_double)
         f32p = ctypes.POINTER(ctypes.c_float)
         try:
+            self._c.kf2vec_parse_doubles.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, f64p, ctypes.c_int64,
+            ]
+            self._c.kf2vec_parse_doubles.restype = ctypes.c_int64
+            self._parse_doubles = self._c.kf2vec_parse_doubles
+        except AttributeError:
+            self._parse_doubles = None
+        try:
+            self._c.kf2vec_parse_table.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, f64p, ctypes.c_int64,
+                i64p, ctypes.c_int64, i64p,
+            ]
+            self._c.kf2vec_parse_table.restype = ctypes.c_int64
+            self._parse_table = self._c.kf2vec_parse_table
+        except AttributeError:
+            self._parse_table = None
+        try:
             self._c.kf2vec_format_doubles.argtypes = [f64p, ctypes.c_int64, u8p, ctypes.c_char]
             self._c.kf2vec_format_doubles.restype = ctypes.c_int64
             self._format_doubles = self._c.kf2vec_format_doubles
@@ -112,6 +129,41 @@ class NativeIO:
         if out.size:
             self._window_codes(self._u8(codes), codes.size, k, trash, self._i64(out))
         return out
+
+    def parse_doubles(self, text: bytes, expect: int | None = None) -> np.ndarray | None:
+        """Parse a ',' / tab / space separated float run; None if unavailable
+        or malformed (caller falls back to the Python parser)."""
+        if self._parse_doubles is None:
+            return None
+        cap = expect if expect is not None else max(8, len(text) // 2 + 2)
+        out = np.empty(cap, dtype=np.float64)
+        n = self._parse_doubles(
+            text, len(text), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap
+        )
+        if n < 0 or (expect is not None and n != expect):
+            return None
+        return out[:n]
+
+    def parse_table(self, data: bytes) -> tuple[list[str], np.ndarray] | None:
+        """Parse a whole name-prefixed numeric table (.kf rows / .di_mtrx
+        body) -> (names, (rows, cols) float64). None if unavailable or the
+        input is malformed / ragged (caller falls back to Python parsing)."""
+        if self._parse_table is None:
+            return None
+        n = len(data)
+        max_rows = data.count(b"\n") + 2
+        vals = np.empty(max(8, n // 2 + 2), dtype=np.float64)
+        spans = np.empty(2 * max_rows, dtype=np.int64)
+        cols = np.zeros(1, dtype=np.int64)
+        rows = self._parse_table(
+            data, n, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), vals.size,
+            self._i64(spans), max_rows, self._i64(cols),
+        )
+        if rows < 0:
+            return None
+        c = int(cols[0])
+        names = [data[spans[2 * i] : spans[2 * i + 1]].decode() for i in range(rows)]
+        return names, vals[: rows * c].reshape(rows, c).copy()
 
     def format_doubles(self, vals: np.ndarray, sep: str = ",") -> str | None:
         """py-repr renderings of a float64 vector joined by sep + '\\n';

@@ -76,18 +76,30 @@ def read_di_mtrx(path: str) -> tuple[list[str], list[str], np.ndarray]:
     """Read a .di_mtrx -> (row labels, col labels, values). Row/col orders may
     differ (the reference's treeswift dict ordering is traversal-dependent);
     consumers must reindex by label (utils sort_df equivalent)."""
-    with open(path) as f:
-        header = f.readline().rstrip("\n").split("\t")
-        col_labels = header[1:]
-        row_labels: list[str] = []
-        rows: list[np.ndarray] = []
-        for line in f:
-            line = line.rstrip("\n")
-            if not line:
-                continue
-            parts = line.split("\t")
-            row_labels.append(parts[0])
-            rows.append(np.array(parts[1:], dtype=np.float64))
+    from ..io.native import lib as native_lib
+
+    native = native_lib.try_load()
+    with open(path, "rb") as fb:
+        data = fb.read()
+    head_end = data.find(b"\n")
+    header = data[: max(head_end, 0)].decode().rstrip("\r").split("\t")
+    col_labels = header[1:]
+    body = data[head_end + 1 :] if head_end >= 0 else b""
+    if native is not None:
+        res = native.parse_table(body)
+        if res is not None:
+            row_labels, mat = res
+            if mat.shape[1] == len(col_labels):
+                return row_labels, col_labels, mat
+    row_labels = []
+    rows: list[np.ndarray] = []
+    for line in body.decode().split("\n"):
+        line = line.rstrip("\r")
+        if not line:
+            continue
+        name, _, rest = line.partition("\t")
+        row_labels.append(name)
+        rows.append(np.array(rest.split("\t"), dtype=np.float64))
     return row_labels, col_labels, np.vstack(rows)
 
 
