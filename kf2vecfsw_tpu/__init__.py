@@ -18,3 +18,29 @@ reference so downstream tooling (APPLES, gappa) keeps working.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations (each subcommand is
+    its own process; without this every run pays ~20-60 s of recompiles).
+    A user-set JAX_COMPILATION_CACHE_DIR always wins."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.environ.get(
+        "KF2VEC_NO_COMPILATION_CACHE"
+    ):
+        return
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "kf2vecfsw_tpu", "xla"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

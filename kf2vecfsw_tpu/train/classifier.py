@@ -30,7 +30,7 @@ from ..utils.logging import close_logger, make_run_logger, timestamp
 from ..utils.timing import hms
 from .checkpoint import load_checkpoint, save_checkpoint
 from .schedule import step_lr
-from .step import ClassifierEpochRunner, adam_init
+from .step import ClassifierEpochRunner, adam_init, split_spans
 
 VOCAB_SIZES_TO_K = {32: 3, 136: 4, 512: 5, 2080: 6, 8192: 7, 32896: 8, 131072: 9}
 
@@ -169,39 +169,48 @@ def _train(
     log.info(f"Trainable parameters: {count_params(params)}")
 
     runner = ClassifierEpochRunner(mesh, classifier_apply, specs, n_items, batch_size, donate=True)
-    feats_dev = jax.device_put(feats)
-    labels_dev = jax.device_put(labels)
+    # rows padded to the runner's compile bucket: XLA programs then depend on
+    # the bucket, not the exact backbone size
+    feats_dev = runner.pad_items(jax.device_put(feats))
+    labels_dev = runner.pad_items(jax.device_put(labels))
 
     hrs, m, s = hms(time.time() - since)
     log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
     log.info("\n==> Training model...\n")
 
-    lowest_loss = float("inf")
-    highest_acc = -1.0
-    best_epoch = -1
-    best_params = params
     n_batches = runner.n_batches
-
-    for epoch in range(num_epochs):
-        lr = step_lr(epoch, lr0, lr_min, lr_decay)
-        params, opt, loss, acc = runner.run_epoch(
-            params, opt, feats_dev, labels_dev, jax.random.fold_in(key, epoch), lr
+    lr_args = (lr0, lr_min, lr_decay, defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ)
+    # epochs run in multi-epoch device spans: LR schedule, permutations and
+    # best-(loss, acc, params, epoch) tracking all on device; one dispatch +
+    # one loss/acc fetch per span instead of one round trip per epoch
+    best = (
+        jax.tree.map(jnp.copy, params),
+        jnp.float32(np.inf),
+        jnp.float32(-1.0),
+        jnp.int32(-1),
+    )
+    for epoch0, span in split_spans(0, num_epochs, []):
+        params, opt, best, losses, accs = runner.run_epoch_span(
+            params, opt, best, feats_dev, labels_dev, key, epoch0, span, lr_args
         )
-        loss = float(loss)
-        acc = float(acc)
-        if loss < lowest_loss:
-            lowest_loss = loss
-            highest_acc = acc
-            best_epoch = epoch
-            # deep copy: live buffers are donated to the next epoch's call
-            best_params = jax.tree.map(jnp.copy, params)
-        if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
-            hrs, m, s = hms(time.time() - since)
-            log.info(
-                f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
-                f"Train loss: {loss:.20f}, {acc:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
-            )
-            log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{lr:.20f}")
+        loss_vals = np.asarray(jax.device_get(losses), dtype=np.float64)
+        acc_vals = np.asarray(jax.device_get(accs), dtype=np.float64)
+        for i in range(span):
+            epoch = epoch0 + i
+            if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
+                hrs, m, s = hms(time.time() - since)
+                log.info(
+                    f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
+                    f"Train loss: {loss_vals[i]:.20f}, {acc_vals[i]:.20f}, "
+                    f"Time: {hrs:02d}:{m:02d}:{s:02d}"
+                )
+                log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{step_lr(epoch, lr0, lr_min, lr_decay):.20f}")
+    best_params, lowest_loss, highest_acc, best_epoch = (
+        best[0],
+        float(best[1]),
+        float(best[2]),
+        int(best[3]),
+    )
 
     log.info(
         f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest_loss:.20f}, "

@@ -35,7 +35,7 @@ from ..utils.timing import hms
 from .checkpoint import save_checkpoint
 from .classifier import load_kf_matrix
 from .schedule import step_lr
-from .step import DistanceEpochRunner, adam_init
+from .step import DistanceEpochRunner, adam_init, split_spans
 
 F32 = np.float32
 
@@ -293,11 +293,15 @@ def _train_all(
         log.info("\n==> Training model...\n")
 
         # the runner permutes [0, n_train); map through train_map inside the
-        # gather by pre-subsetting features/dist for the train partition
+        # gather by pre-subsetting features/dist for the train partition.
+        # Rows/cols padded to the runner's compile bucket so XLA programs
+        # depend on the bucket, not the exact clade size.
         feats_train = feats_dev[train_map] if len(train_idx) != n_items else feats_dev
         dist_train = (
             dist_dev[np.ix_(train_idx, train_idx)] if len(train_idx) != n_items else dist_dev
         )
+        feats_train = runner.pad_items(feats_train)
+        dist_train = runner.pad_dist(dist_train)
 
         lowest = float("inf")
         best_epoch = -1
@@ -320,43 +324,15 @@ def _train_all(
 
         from ..utils.profiling import maybe_trace
 
-        for epoch in range(start_epoch, num_epochs):
-            lr = step_lr(epoch, lr0, lr_min, lr_decay)
-            trace_ctx = (
-                maybe_trace(f"train_model_clade_{c}") if epoch == start_epoch + 1
-                else contextlib.nullcontext()
-            )
-            with trace_ctx:
-                params, opt, loss = runner.run_epoch(
-                    params, opt, feats_train, dist_train, jax.random.fold_in(key, epoch), lr
-                )
-            loss = float(loss)
-            if loss != loss:  # NaN watch (train_model_set_chunks.py:431-432)
-                log.info(f"Loss: {loss}")
-            if loss < lowest:
-                lowest = loss
-                best_epoch = epoch
-                # deep copy: the live params buffers are donated to the next
-                # epoch's jitted call
-                best_params = jax.tree.map(jnp.copy, params)
-            if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
-                hrs, m, s = hms(time.time() - since)
-                log.info(
-                    f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
-                    f"Train loss: {loss:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
-                )
-                if test_idx:
-                    test_loss = runner.eval_loss(params, feats_dev, dist_dev, test_idx)
-                    log.info(
-                        f"Epoch [{epoch + 1}/{num_epochs}], Test loss: {test_loss:.20f}"
-                    )
-                log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{lr:.20f}")
+        def maybe_autosave(epoch, params, opt, best_params, lowest, best_epoch):
             if autosave_every and (epoch + 1) % autosave_every == 0:
                 from .resume import save_trainer_state
 
                 save_trainer_state(
                     state_path, epoch, params, opt, best_params, lowest, best_epoch
                 )
+
+        def maybe_snapshot(epoch, params):
             if save_interval is not None and (
                 epoch % save_interval == 0 or epoch == num_epochs - 1
             ):
@@ -365,6 +341,87 @@ def _train_all(
                 save_checkpoint(
                     os.path.join(subdir, f"model_subtree_{c}.ckpt"), model_name, meta, params
                 )
+
+        if test_idx:
+            # per-epoch test-set evaluation: keep the epoch-granular loop
+            for epoch in range(start_epoch, num_epochs):
+                lr = step_lr(epoch, lr0, lr_min, lr_decay)
+                trace_ctx = (
+                    maybe_trace(f"train_model_clade_{c}") if epoch == start_epoch + 1
+                    else contextlib.nullcontext()
+                )
+                with trace_ctx:
+                    params, opt, loss = runner.run_epoch(
+                        params, opt, feats_train, dist_train, jax.random.fold_in(key, epoch), lr
+                    )
+                loss = float(loss)
+                if loss != loss:  # NaN watch (train_model_set_chunks.py:431-432)
+                    log.info(f"Loss: {loss}")
+                if loss < lowest:
+                    lowest = loss
+                    best_epoch = epoch
+                    # deep copy: the live params buffers are donated to the
+                    # next epoch's jitted call
+                    best_params = jax.tree.map(jnp.copy, params)
+                if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
+                    hrs, m, s = hms(time.time() - since)
+                    log.info(
+                        f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
+                        f"Train loss: {loss:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
+                    )
+                    test_loss = runner.eval_loss(params, feats_dev, dist_dev, test_idx)
+                    log.info(
+                        f"Epoch [{epoch + 1}/{num_epochs}], Test loss: {test_loss:.20f}"
+                    )
+                    log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{lr:.20f}")
+                maybe_autosave(epoch, params, opt, best_params, lowest, best_epoch)
+                maybe_snapshot(epoch, params)
+        else:
+            # multi-epoch device spans: LR schedule, permutations and
+            # best-(loss, params, epoch) tracking run on device; one dispatch
+            # + one loss fetch per span instead of a round trip per epoch.
+            # Span boundaries align with autosave/snapshot epochs.
+            lr_args = (
+                lr0, lr_min, lr_decay,
+                defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ,
+            )
+            boundaries: set[int] = set()
+            if autosave_every:
+                boundaries.update(range(autosave_every, num_epochs, autosave_every))
+            if save_interval is not None:
+                boundaries.update(e + 1 for e in range(0, num_epochs, save_interval))
+            best = (
+                jax.tree.map(jnp.copy, best_params),
+                jnp.float32(lowest),
+                jnp.int32(best_epoch),
+            )
+            first = True
+            for epoch0, span in split_spans(start_epoch, num_epochs, sorted(boundaries)):
+                trace_ctx = maybe_trace(f"train_model_clade_{c}") if first else contextlib.nullcontext()
+                first = False
+                with trace_ctx:
+                    params, opt, best, losses = runner.run_epoch_span(
+                        params, opt, best, feats_train, dist_train, key, epoch0, span, lr_args
+                    )
+                loss_vals = np.asarray(jax.device_get(losses), dtype=np.float64)
+                for i in range(span):
+                    epoch = epoch0 + i
+                    loss = float(loss_vals[i])
+                    if loss != loss:  # NaN watch (train_model_set_chunks.py:431-432)
+                        log.info(f"Loss: {loss}")
+                    if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
+                        hrs, m, s = hms(time.time() - since)
+                        log.info(
+                            f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
+                            f"Train loss: {loss:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
+                        )
+                        log.info(
+                            f"Epoch {epoch + 1}\t \x20\x20LR:{step_lr(epoch, lr0, lr_min, lr_decay):.20f}"
+                        )
+                end_epoch = epoch0 + span - 1
+                maybe_autosave(end_epoch, params, opt, best[0], float(best[1]), int(best[2]))
+                maybe_snapshot(end_epoch, params)
+            best_params, lowest, best_epoch = best[0], float(best[1]), int(best[2])
 
         log.info(
             f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest:.20f}"

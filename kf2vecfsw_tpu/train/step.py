@@ -60,15 +60,34 @@ def adam_init(params):
     return {"count": jnp.zeros((), jnp.int32), "mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params)}
 
 
-def adam_update(params, grads, state, lr):
-    count = state["count"] + 1
-    t = count.astype(jnp.float32)
-    mu = jax.tree.map(lambda m, g: ADAM_B1 * m + (1 - ADAM_B1) * g, state["mu"], grads)
-    nu = jax.tree.map(lambda v, g: ADAM_B2 * v + (1 - ADAM_B2) * g * g, state["nu"], grads)
+def adam_update(params, grads, state, lr, active=None):
+    """Adam with torch semantics. `active` (traced bool) gates the whole
+    update via scalar-blended coefficients — an inactive call is an exact
+    no-op (state AND params unchanged) at the same FLOP/HBM cost, which is
+    branch-free and therefore cheap to compile inside nested scans (used to
+    skip all-fake bucket-padding batches)."""
+    if active is None:
+        inc = jnp.int32(1)
+        c_keep1, c_g1 = ADAM_B1, 1 - ADAM_B1
+        c_keep2, c_g2 = ADAM_B2, 1 - ADAM_B2
+        lr_eff = lr
+    else:
+        a = active
+        inc = a.astype(jnp.int32)
+        af = a.astype(jnp.float32)
+        c_keep1 = 1.0 - af * (1 - ADAM_B1)
+        c_g1 = af * (1 - ADAM_B1)
+        c_keep2 = 1.0 - af * (1 - ADAM_B2)
+        c_g2 = af * (1 - ADAM_B2)
+        lr_eff = lr * af
+    count = state["count"] + inc
+    t = jnp.maximum(count, 1).astype(jnp.float32)
+    mu = jax.tree.map(lambda m, g: c_keep1 * m + c_g1 * g, state["mu"], grads)
+    nu = jax.tree.map(lambda v, g: c_keep2 * v + c_g2 * g * g, state["nu"], grads)
     bc1 = 1 - ADAM_B1**t
     bc2 = 1 - ADAM_B2**t
     new_params = jax.tree.map(
-        lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + ADAM_EPS),
+        lambda p, m, v: p - lr_eff * (m / bc1) / (jnp.sqrt(v / bc2) + ADAM_EPS),
         params,
         mu,
         nu,
@@ -91,8 +110,77 @@ def _batch_index_plan(n_items: int, batch: int, batch_pad: int, n_batches: int, 
     return jnp.minimum(idx, n_items - 1), mask
 
 
+def bucket_items(n_items: int, floor: int = 8) -> int:
+    """Pad the item dimension to a power-of-2 bucket so compiled programs
+    depend only on the bucket, not the exact clade size — a library build
+    over many subtrees then reuses a handful of XLA programs instead of
+    compiling per subtree."""
+    b = floor
+    while b < n_items:
+        b *= 2
+    return b
+
+
+def _packed_perm(key, n_bucket: int, n_items):
+    """Random permutation of the real items [0, n_items) packed into the
+    first n_items slots (fake bucket slots follow). n_items may be traced:
+    argsort of iid uniforms, with fake positions pushed past 1.0."""
+    r = jax.random.uniform(key, (n_bucket,))
+    r = jnp.where(jnp.arange(n_bucket) < n_items, r, r + 2.0)
+    return jnp.argsort(r)
+
+
+def _batch_index_plan_dyn(
+    n_bucket: int, batch: int, batch_pad: int, n_batches: int, perm_packed, n_items
+):
+    """_batch_index_plan with a TRACED n_items over a static bucket: because
+    real items are packed first, the mask is simply position < n_items and
+    every batch is either fully ahead of the tail or all-fake (except the one
+    real tail batch) — matching the reference's batch compositions exactly."""
+    flat = jnp.full((n_batches * batch,), n_bucket, dtype=jnp.int32)
+    flat = flat.at[:n_bucket].set(perm_packed.astype(jnp.int32))
+    pos = jnp.arange(n_batches * batch)
+    mask_flat = pos < n_items
+    idx = flat.reshape(n_batches, batch)
+    mask = mask_flat.reshape(n_batches, batch)
+    if batch_pad > batch:
+        idx = jnp.pad(idx, ((0, 0), (0, batch_pad - batch)), constant_values=n_bucket)
+        mask = jnp.pad(mask, ((0, 0), (0, batch_pad - batch)), constant_values=False)
+    idx = jnp.minimum(jnp.where(mask, idx, 0), jnp.maximum(n_items - 1, 0))
+    return idx, mask
+
+
 def _mesh_axes(mesh):
     return mesh.shape[DATA_AXIS], mesh.shape.get(MODEL_AXIS, 1)
+
+
+def device_step_lr(epoch, lr0, lr_min, decay, base, update_freq):
+    """train/schedule.step_lr traced on device (epoch may be a traced int)."""
+    last_update = ((epoch - 1) // update_freq) * update_freq
+    lr = lr_min + lr0 * jnp.power(base, last_update.astype(jnp.float32) / decay)
+    return jnp.where(epoch == 0, lr0, lr).astype(jnp.float32)
+
+
+# span sizes for decomposing an epoch range into a handful of compiled
+# multi-epoch programs: any gap uses at most ~4 distinct traces and
+# len(gap)/512 + O(log) dispatches instead of one round trip per epoch
+SPAN_SIZES = (512, 64, 8, 1)
+
+
+def split_spans(start: int, end: int, boundaries: list[int]) -> list[tuple[int, int]]:
+    """(epoch0, span) pieces covering [start, end) that never cross a
+    boundary epoch and only use SPAN_SIZES lengths."""
+    cuts = sorted({b for b in boundaries if start < b < end} | {end})
+    pieces: list[tuple[int, int]] = []
+    pos = start
+    for cut in cuts:
+        while pos < cut:
+            for s in SPAN_SIZES:
+                if pos + s <= cut:
+                    pieces.append((pos, s))
+                    pos += s
+                    break
+    return pieces
 
 
 class DistanceEpochRunner:
@@ -117,9 +205,13 @@ class DistanceEpochRunner:
         n_data, n_model = _mesh_axes(mesh)
         self.model_axis = MODEL_AXIS if n_model > 1 else None
         self.n_items = n_items
+        # compiled programs depend on the BUCKET (callers pad features/dist
+        # rows to n_bucket); the real n_items traces as a scalar, so a
+        # many-subtree library build reuses a handful of XLA executables
+        self.n_bucket = bucket_items(max(n_items, 1))
         self.batch = batch_size
         self.batch_pad = -(-batch_size // n_data) * n_data
-        self.n_batches = max(1, -(-n_items // batch_size))
+        self.n_batches = max(1, -(-self.n_bucket // batch_size))
         self.local_b = self.batch_pad // n_data
         self.apply_fn = apply_fn
         self.weight_offset = weight_offset
@@ -150,6 +242,12 @@ class DistanceEpochRunner:
         donate_args = (0, 1) if donate else ()
         self._run = jax.jit(self._run_impl, donate_argnums=donate_args)
         self._eval = jax.jit(self._eval_impl)
+        # span runner: donate the whole carry (params/opt/best state)
+        self._span = jax.jit(
+            self._span_impl,
+            static_argnums=(9,),
+            donate_argnums=(0, 1, 2) if donate else (),
+        )
 
     # -- core (runs per-device under shard_map) -------------------------------
     def _batch_loss(self, params, feats, dist, idx, mask):
@@ -170,13 +268,17 @@ class DistanceEpochRunner:
         def batch_step(carry, inp):
             params, opt = carry
             idx, mask = inp
+            # real items are packed first, so a batch is live iff its first
+            # slot is real; all-fake bucket-padding batches must be exact
+            # Adam no-ops (optimizer count matches the reference)
+            active = mask[0]
             loss, grads = jax.value_and_grad(
                 lambda p: self._batch_loss(p, feats, dist, idx, mask)
             )(params)
             grads = jax.lax.psum(grads, DATA_AXIS)
-            params, opt = adam_update(params, grads, opt, lr)
+            params, opt = adam_update(params, grads, opt, lr, active=active)
             count = jnp.sum(mask) * self.label_repeat
-            return (params, opt), (loss, count)
+            return (params, opt), (jnp.where(active, loss, 0.0), count)
 
         (params, opt), (losses, counts) = jax.lax.scan(
             batch_step, (params, opt), (idx_all, mask_all)
@@ -185,16 +287,75 @@ class DistanceEpochRunner:
         return params, opt, epoch_loss, losses
 
     # -- public jitted entry points -------------------------------------------
-    def _run_impl(self, params, opt, feats, dist, key, lr):
-        perm = jax.random.permutation(key, self.n_items)
-        idx, mask = _batch_index_plan(
-            self.n_items, self.batch, self.batch_pad, self.n_batches, perm
+    def _run_impl(self, params, opt, feats, dist, key, lr, n_items):
+        perm = _packed_perm(key, self.n_bucket, n_items)
+        idx, mask = _batch_index_plan_dyn(
+            self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
         )
         return self._epoch_sharded(params, opt, feats, dist, idx, mask, lr)
 
+    def pad_items(self, arr, value: float = 0.0):
+        """Pad axis 0 from n_items to the compile bucket."""
+        extra = self.n_bucket - arr.shape[0]
+        if extra <= 0:
+            return jnp.asarray(arr)
+        widths = [(0, extra)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(jnp.asarray(arr), widths, constant_values=value)
+
+    def pad_dist(self, dist, value: float = 0.0):
+        """Pad a square true-distance matrix to (bucket, bucket)."""
+        extra = self.n_bucket - dist.shape[0]
+        if extra <= 0:
+            return jnp.asarray(dist)
+        return jnp.pad(jnp.asarray(dist), ((0, extra), (0, extra)), constant_values=value)
+
     def run_epoch(self, params, opt, feats, dist, key, lr):
-        params, opt, loss, _ = self._run(params, opt, feats, dist, key, jnp.float32(lr))
+        params, opt, loss, _ = self._run(
+            params, opt, feats, dist, key, jnp.float32(lr), jnp.int32(self.n_items)
+        )
         return params, opt, loss
+
+    # -- multi-epoch span: scan over epochs entirely on device ---------------
+    def _span_impl(self, params, opt, best, feats, dist, base_key, epoch0, lr_args, n_items, span):
+        lr0, lr_min, lr_decay, lr_base, lr_freq = lr_args
+
+        def epoch_body(carry, e):
+            params, opt, best_params, lowest, best_epoch = carry
+            lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
+            perm = _packed_perm(jax.random.fold_in(base_key, e), self.n_bucket, n_items)
+            idx, mask = _batch_index_plan_dyn(
+                self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
+            )
+            params, opt, eloss, _ = self._epoch_sharded(params, opt, feats, dist, idx, mask, lr)
+            better = eloss < lowest
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(better, p, b), best_params, params
+            )
+            lowest = jnp.where(better, eloss, lowest)
+            best_epoch = jnp.where(better, e, best_epoch)
+            return (params, opt, best_params, lowest, best_epoch), eloss
+
+        carry = (params, opt, best[0], best[1], best[2])
+        (params, opt, bp, lo, be), losses = jax.lax.scan(
+            epoch_body, carry, epoch0 + jnp.arange(span)
+        )
+        return params, opt, (bp, lo, be), losses
+
+    def run_epoch_span(self, params, opt, best, feats, dist, base_key, epoch0, span, lr_args):
+        """Run `span` consecutive epochs as ONE device program: the LR
+        schedule, epoch permutations and best-(loss, params, epoch) tracking
+        all happen on device, so a block costs one dispatch + one fetch
+        instead of `span` round trips (which dominate wall clock for small
+        models on remote/tunneled chips).
+
+        best = (best_params, lowest f32, best_epoch i32); lr_args =
+        (lr0, lr_min, lr_decay, base, update_freq). Returns
+        (params, opt, best, per-epoch losses array)."""
+        lr_args = tuple(jnp.float32(v) for v in lr_args[:4]) + (jnp.int32(lr_args[4]),)
+        return self._span(
+            params, opt, best, feats, dist, base_key, jnp.int32(epoch0), lr_args,
+            jnp.int32(self.n_items), int(span),
+        )
 
     def _eval_impl(self, params, feats, dist, idx, mask):
         def one(carry, inp):
@@ -243,9 +404,10 @@ class ClassifierEpochRunner:
         n_data, n_model = _mesh_axes(mesh)
         self.model_axis = MODEL_AXIS if n_model > 1 else None
         self.n_items = n_items
+        self.n_bucket = bucket_items(max(n_items, 1))
         self.batch = batch_size
         self.batch_pad = -(-batch_size // n_data) * n_data
-        self.n_batches = max(1, -(-n_items // batch_size))
+        self.n_batches = max(1, -(-self.n_bucket // batch_size))
         self.local_b = self.batch_pad // n_data
         self.apply_fn = apply_fn
 
@@ -266,6 +428,11 @@ class ClassifierEpochRunner:
             out_specs=out_specs,
         )
         self._run = jax.jit(self._run_impl, donate_argnums=(0, 1) if donate else ())
+        self._span = jax.jit(
+            self._span_impl,
+            static_argnums=(9,),
+            donate_argnums=(0, 1, 2) if donate else (),
+        )
 
     def _epoch_core(self, params, opt, feats, labels, idx_all, mask_all, lr):
         my_d = jax.lax.axis_index(DATA_AXIS)
@@ -288,12 +455,13 @@ class ClassifierEpochRunner:
         def batch_step(carry, inp):
             params, opt = carry
             idx, mask = inp
+            active = mask[0]
             (loss, correct), grads = jax.value_and_grad(
                 lambda p: batch_loss(p, idx, mask), has_aux=True
             )(params)
             grads = jax.lax.psum(grads, DATA_AXIS)
-            params, opt = adam_update(params, grads, opt, lr)
-            return (params, opt), (loss, correct, jnp.sum(mask))
+            params, opt = adam_update(params, grads, opt, lr, active=active)
+            return (params, opt), (jnp.where(active, loss, 0.0), correct, jnp.sum(mask))
 
         (params, opt), (losses, corrects, counts) = jax.lax.scan(
             batch_step, (params, opt), (idx_all, mask_all)
@@ -303,13 +471,59 @@ class ClassifierEpochRunner:
         epoch_acc = jnp.sum(corrects) / total
         return params, opt, epoch_loss, epoch_acc
 
-    def _run_impl(self, params, opt, feats, labels, key, lr):
-        perm = jax.random.permutation(key, self.n_items)
-        idx, mask = _batch_index_plan(
-            self.n_items, self.batch, self.batch_pad, self.n_batches, perm
+    def _run_impl(self, params, opt, feats, labels, key, lr, n_items):
+        perm = _packed_perm(key, self.n_bucket, n_items)
+        idx, mask = _batch_index_plan_dyn(
+            self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
         )
         return self._epoch_sharded(params, opt, feats, labels, idx, mask, lr)
 
+    def pad_items(self, arr, value=0):
+        extra = self.n_bucket - arr.shape[0]
+        if extra <= 0:
+            return jnp.asarray(arr)
+        widths = [(0, extra)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(jnp.asarray(arr), widths, constant_values=value)
+
     def run_epoch(self, params, opt, feats, labels, key, lr):
-        params, opt, loss, acc = self._run(params, opt, feats, labels, key, jnp.float32(lr))
+        params, opt, loss, acc = self._run(
+            params, opt, feats, labels, key, jnp.float32(lr), jnp.int32(self.n_items)
+        )
         return params, opt, loss, acc
+
+    def _span_impl(self, params, opt, best, feats, labels, base_key, epoch0, lr_args, n_items, span):
+        lr0, lr_min, lr_decay, lr_base, lr_freq = lr_args
+
+        def epoch_body(carry, e):
+            params, opt, best_params, lowest, best_acc, best_epoch = carry
+            lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
+            perm = _packed_perm(jax.random.fold_in(base_key, e), self.n_bucket, n_items)
+            idx, mask = _batch_index_plan_dyn(
+                self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
+            )
+            params, opt, eloss, eacc = self._epoch_sharded(
+                params, opt, feats, labels, idx, mask, lr
+            )
+            better = eloss < lowest
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(better, p, b), best_params, params
+            )
+            lowest = jnp.where(better, eloss, lowest)
+            best_acc = jnp.where(better, eacc, best_acc)
+            best_epoch = jnp.where(better, e, best_epoch)
+            return (params, opt, best_params, lowest, best_acc, best_epoch), (eloss, eacc)
+
+        carry = (params, opt) + tuple(best)
+        (params, opt, bp, lo, ba, be), (losses, accs) = jax.lax.scan(
+            epoch_body, carry, epoch0 + jnp.arange(span)
+        )
+        return params, opt, (bp, lo, ba, be), losses, accs
+
+    def run_epoch_span(self, params, opt, best, feats, labels, base_key, epoch0, span, lr_args):
+        """Classifier analogue of DistanceEpochRunner.run_epoch_span; best =
+        (best_params, lowest f32, best_acc f32, best_epoch i32)."""
+        lr_args = tuple(jnp.float32(v) for v in lr_args[:4]) + (jnp.int32(lr_args[4]),)
+        return self._span(
+            params, opt, tuple(best), feats, labels, base_key, jnp.int32(epoch0), lr_args,
+            jnp.int32(self.n_items), int(span),
+        )
