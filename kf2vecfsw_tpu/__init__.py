@@ -30,6 +30,10 @@ def _enable_compilation_cache() -> None:
         "KF2VEC_NO_COMPILATION_CACHE"
     ):
         return
+    # forced-CPU runs (tests, dryruns) skip the cache: XLA:CPU AOT artifacts
+    # are machine-feature-pinned and can SIGILL if flags drift between runs
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     try:
         import jax
 
