@@ -10,13 +10,14 @@ pairs, Dataset_chunks_2rows) and repeats the true-distance labels twice
 (train_model_set_chunks.py:396-397); the loss is Loss_chunks
 (weight 1/(d+1000), losses.py:58-117).
 
-TPU-native architecture: sampling happens on the host over the raw
-uint16/uint8 chunk matrices (the streaming side — this is what lets backbones
-far larger than device memory train unchanged: each host only materializes
-its B sampled vectors per step), while the jitted device step consumes the
-sampled batch sharded over the mesh 'data' axis via GSPMD sharding
-annotations. A background prefetch thread overlaps host sampling with device
-compute.
+TPU-native architecture: per-genome chunk prefix sums live in device memory
+(DeviceChunkStore) and the random span re-aggregation is a jitted
+segment-sum fused into the train step; multi-epoch spans run as one XLA
+program (sampling, LR schedule and best-loss tracking on device), so the
+host contributes nothing per epoch. Clades whose prefix array exceeds
+KF2VEC_CHUNK_DEVICE_BUDGET fall back to host-side streaming sampling (the
+≫-device-memory path: each host materializes only its B sampled vectors per
+step, overlapped by a prefetch thread).
 """
 
 from __future__ import annotations
@@ -193,49 +194,67 @@ class DeviceChunkStore:
         return jax.vmap(self._sample_one)(keys, gis)
 
 
-def make_chunked_epoch_runner(loss_and_grad_step, dstore, n_items: int, batch_size: int, draws: int):
-    """One jitted XLA program per chunked epoch: lax.scan over full batches
-    with device-side span sampling, plus one traced tail step for a
-    non-divisible last batch. loss_and_grad_step(params, opt, x, gidx, lr)
-    -> (params, opt, aux) where aux is a pytree of per-batch scalars.
+def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_size: int, draws: int):
+    """Multi-epoch chunked training as ONE device program: scan over epochs,
+    each epoch drawing its permutation and chunk spans on device (the LR
+    step schedule too), with best-loss params tracked in the carry. Returns
+    run(params, opt, (best_params, lowest), base_key, epoch0, span, lr_args)
+    -> (params, opt, best, per-epoch-per-batch aux stacks)."""
+    from .step import device_step_lr
 
-    Returns run_epoch(params, opt, key, perm, lr) -> (params, opt, aux_stacked)
-    with aux entries ordered [full batches..., tail?]."""
     n_full = n_items // batch_size
     tail = n_items - n_full * batch_size
+    batch_weights = jnp.asarray(
+        [batch_size] * n_full + ([tail] if tail else []), jnp.float32
+    )
 
-    @jax.jit
-    def run_full(params, opt, key, perm, lr):
-        def body(carry, bi):
-            params, opt = carry
-            gidx = jax.lax.dynamic_slice_in_dim(perm, bi * batch_size, batch_size)
-            x = dstore.sample_batch(jax.random.fold_in(key, bi), gidx, draws)
-            params, opt, aux = loss_and_grad_step(params, opt, x, gidx, lr)
-            return (params, opt), aux
-
-        (params, opt), aux = jax.lax.scan(body, (params, opt), jnp.arange(n_full))
-        return params, opt, aux
-
-    @jax.jit
-    def run_tail(params, opt, key, gidx, lr):
-        x = dstore.sample_batch(key, gidx, draws)
-        return loss_and_grad_step(params, opt, x, gidx, lr)
-
-    def run_epoch(params, opt, key, perm, lr):
-        perm = jnp.asarray(perm, dtype=jnp.int32)
+    def epoch_fn(params, opt, key_e, lr):
+        perm = jax.random.permutation(jax.random.fold_in(key_e, 0), n_items).astype(jnp.int32)
         aux_parts = []
         if n_full:
-            params, opt, aux = run_full(params, opt, key, perm[: n_full * batch_size], lr)
-            aux_parts.append(aux)
+
+            def body(carry, bi):
+                params, opt = carry
+                gidx = jax.lax.dynamic_slice_in_dim(perm, bi * batch_size, batch_size)
+                x = dstore.sample_batch(jax.random.fold_in(key_e, 1 + bi), gidx, draws)
+                params, opt, aux = loss_and_grad_step(params, opt, x, gidx, lr)
+                return (params, opt), aux
+
+            (params, opt), aux_full = jax.lax.scan(body, (params, opt), jnp.arange(n_full))
+            aux_parts.append(aux_full)
         if tail:
-            params, opt, aux_t = run_tail(
-                params, opt, jax.random.fold_in(key, n_full), perm[n_full * batch_size :], lr
-            )
+            gidx = perm[n_full * batch_size :]
+            x = dstore.sample_batch(jax.random.fold_in(key_e, 1 + n_full), gidx, draws)
+            params, opt, aux_t = loss_and_grad_step(params, opt, x, gidx, lr)
             aux_parts.append(jax.tree.map(lambda a: jnp.asarray(a)[None], aux_t))
         aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
         return params, opt, aux
 
-    return run_epoch
+    def span_impl(params, opt, best, base_key, epoch0, lr_args, span):
+        lr0, lr_min, lr_decay, lr_base, lr_freq = lr_args
+
+        def body(carry, e):
+            params, opt, bp, lo = carry
+            lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
+            params, opt, aux = epoch_fn(params, opt, jax.random.fold_in(base_key, e), lr)
+            losses = aux[0] if isinstance(aux, tuple) else aux
+            eloss = jnp.sum(losses * batch_weights) / jnp.sum(batch_weights)
+            better = eloss < lo
+            bp = jax.tree.map(lambda b, p: jnp.where(better, p, b), bp, params)
+            lo = jnp.where(better, eloss, lo)
+            return (params, opt, bp, lo), aux
+
+        carry = (params, opt) + tuple(best)
+        (params, opt, bp, lo), aux = jax.lax.scan(body, carry, epoch0 + jnp.arange(span))
+        return params, opt, (bp, lo), aux
+
+    jitted = jax.jit(span_impl, static_argnums=(6,), donate_argnums=(0, 1, 2))
+
+    def run(params, opt, best, base_key, epoch0, span, lr_args):
+        lr_args = tuple(jnp.float32(v) for v in lr_args[:4]) + (jnp.int32(lr_args[4]),)
+        return jitted(params, opt, tuple(best), base_key, jnp.int32(epoch0), lr_args, int(span))
+
+    return run
 
 
 def _prefetch(batches_iter, depth: int = 2):
@@ -356,12 +375,6 @@ def train_model_set_chunks_func(
                 params, opt = adam_update(params, grads, opt, lr)
                 return params, opt, loss
 
-            run_epoch = (
-                make_chunked_epoch_runner(loss_and_grad_step, dstore, n_items, batch_size, draws=2)
-                if dstore is not None
-                else None
-            )
-
             n_batches = max(1, math.ceil(n_items / batch_size))
             stop_epochs = int(math.ceil(n_items / batch_size * 2))
             lq: deque = deque([float("nan")] * stop_epochs, maxlen=stop_epochs)
@@ -376,25 +389,67 @@ def train_model_set_chunks_func(
                 "model_embedding_size": embedding_size,
             }
 
-            epoch_key = jax.random.fold_in(key, 17)
-            for epoch in range(num_epochs):
-                lr = step_lr(epoch, lr0, lr_min, lr_decay)
-                perm = rng.permutation(n_items)
-                batch_sizes = [
-                    len(perm[bi * batch_size : (bi + 1) * batch_size]) for bi in range(n_batches)
-                ]
-                losses = []
+            n_full = n_items // batch_size
+            tail_n = n_items - n_full * batch_size
+            batch_sizes = [batch_size] * n_full + ([tail_n] if tail_n else [])
 
-                if run_epoch is not None:
-                    # the whole epoch (device-side sampling + all steps) is
-                    # one XLA program; losses are fetched ONCE per epoch (a
-                    # per-batch fetch pays a full link round trip on remote
-                    # chips)
-                    params, opt, loss_stack = run_epoch(
-                        params, opt, jax.random.fold_in(epoch_key, epoch), perm, jnp.float32(lr)
+            def account_epoch(epoch, loss_row):
+                """Per-epoch bookkeeping from the fetched per-batch losses:
+                outlier/NaN logs, best/rolling-mean tracking, epoch log."""
+                nonlocal lowest, best_epoch, consec_lowest, consec_best_epoch
+                for bi, lv in enumerate(loss_row):
+                    if epoch > 5 and lv > 0.2:
+                        log.info(
+                            f"Epoch [{epoch + 1}/{num_epochs}], Step [{bi + 1}/{n_batches}], "
+                            f"Outlier: {lv:.20f} batch size: {batch_sizes[bi] * 2}"
+                        )
+                    if math.isnan(lv):
+                        log.info(f"Loss: {lv}")
+                epoch_loss = float(
+                    (loss_row * np.array(batch_sizes)).sum() / max(sum(batch_sizes), 1)
+                )
+                lq.appendleft(epoch_loss)
+                lq_mean = float(np.nanmean(lq))
+                if lq_mean < consec_lowest:
+                    consec_lowest, consec_best_epoch = lq_mean, epoch
+                if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
+                    hrs, m, s = hms(time.time() - since)
+                    log.info(
+                        f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
+                        f"Train loss: {epoch_loss:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
                     )
-                    losses = [loss_stack]
-                else:
+                return epoch_loss
+
+            epoch_key = jax.random.fold_in(key, 17)
+            if dstore is not None:
+                # multi-epoch device spans: sampling, LR schedule and
+                # best-loss params all on device; one dispatch + one loss
+                # fetch per span instead of a round trip per epoch
+                from .step import split_spans
+
+                span_run = make_chunked_span_runner(
+                    loss_and_grad_step, dstore, n_items, batch_size, draws=2
+                )
+                lr_args = (
+                    lr0, lr_min, lr_decay,
+                    defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ,
+                )
+                best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf))
+                for epoch0, span in split_spans(0, num_epochs, []):
+                    params, opt, best, loss_mat = span_run(
+                        params, opt, best, epoch_key, epoch0, span, lr_args
+                    )
+                    lv = np.asarray(jax.device_get(loss_mat), dtype=np.float64)
+                    for i in range(span):
+                        epoch_loss = account_epoch(epoch0 + i, lv[i])
+                        if epoch_loss < lowest:
+                            lowest, best_epoch = epoch_loss, epoch0 + i
+                best_params = best[0]
+            else:
+                for epoch in range(num_epochs):
+                    lr = step_lr(epoch, lr0, lr_min, lr_decay)
+                    perm = rng.permutation(n_items)
+                    losses = []
 
                     def batches():
                         for bi in range(n_batches):
@@ -407,34 +462,10 @@ def train_model_set_chunks_func(
                         params, opt, loss = step(params, opt, x_dev, gidx, jnp.float32(lr))
                         losses.append(loss)
 
-                loss_vals = np.asarray(
-                    jax.device_get(losses[0] if run_epoch is not None else jnp.stack(losses)),
-                    dtype=np.float64,
-                )
-                for bi, lv in enumerate(loss_vals):
-                    if epoch > 5 and lv > 0.2:
-                        log.info(
-                            f"Epoch [{epoch + 1}/{num_epochs}], Step [{bi + 1}/{n_batches}], "
-                            f"Outlier: {lv:.20f} batch size: {batch_sizes[bi] * 2}"
-                        )
-                    if math.isnan(lv):
-                        log.info(f"Loss: {lv}")
-                epoch_loss = float(
-                    (loss_vals * np.array(batch_sizes)).sum() / max(sum(batch_sizes), 1)
-                )
-
-                if epoch_loss < lowest:
-                    lowest, best_epoch, best_params = epoch_loss, epoch, params
-                lq.appendleft(epoch_loss)
-                lq_mean = float(np.nanmean(lq))
-                if lq_mean < consec_lowest:
-                    consec_lowest, consec_best_epoch = lq_mean, epoch
-                if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
-                    hrs, m, s = hms(time.time() - since)
-                    log.info(
-                        f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
-                        f"Train loss: {epoch_loss:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
-                    )
+                    loss_vals = np.asarray(jax.device_get(jnp.stack(losses)), dtype=np.float64)
+                    epoch_loss = account_epoch(epoch, loss_vals)
+                    if epoch_loss < lowest:
+                        lowest, best_epoch, best_params = epoch_loss, epoch, params
 
             log.info(f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest:.20f}")
             log.info(
@@ -558,25 +589,49 @@ def train_classifier_chunks_func(
         rng = np.random.default_rng(seed)
         key = jax.random.fold_in(key, 23)
         n_batches = max(1, math.ceil(n_items / batch_size))
-        run_epoch = (
-            make_chunked_epoch_runner(loss_and_grad_step, dstore, n_items, batch_size, draws=1)
-            if dstore is not None
-            else None
-        )
         lowest, best_epoch, best_params, highest_acc = math.inf, -1, params, -1.0
+        n_full = n_items // batch_size
+        tail_n = n_items - n_full * batch_size
+        batch_sizes = [batch_size] * n_full + ([tail_n] if tail_n else [])
+        items = max(sum(batch_sizes), 1)
 
-        for epoch in range(num_epochs):
-            lr = step_lr(epoch, lr0, lr_min, lr_decay)
-            perm = rng.permutation(n_items)
-            batch_sizes = [
-                len(perm[bi * batch_size : (bi + 1) * batch_size]) for bi in range(n_batches)
-            ]
-
-            if run_epoch is not None:
-                params, opt, (loss_stack, corr_stack) = run_epoch(
-                    params, opt, jax.random.fold_in(key, epoch), perm, jnp.float32(lr)
+        def account_epoch(epoch, loss_row, corr_row):
+            epoch_loss = float((loss_row * np.array(batch_sizes)).sum() / items)
+            acc = float(corr_row.sum() / items)
+            if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
+                hrs, m, s = hms(time.time() - since)
+                log.info(
+                    f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
+                    f"Train loss: {epoch_loss:.20f}, {acc:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
                 )
-            else:
+            return epoch_loss, acc
+
+        if dstore is not None:
+            from .step import split_spans
+
+            span_run = make_chunked_span_runner(
+                loss_and_grad_step, dstore, n_items, batch_size, draws=1
+            )
+            lr_args = (
+                lr0, lr_min, lr_decay,
+                defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ,
+            )
+            best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf))
+            for epoch0, span in split_spans(0, num_epochs, []):
+                params, opt, best, (loss_mat, corr_mat) = span_run(
+                    params, opt, best, key, epoch0, span, lr_args
+                )
+                lv = np.asarray(jax.device_get(loss_mat), dtype=np.float64)
+                cv = np.asarray(jax.device_get(corr_mat), dtype=np.float64)
+                for i in range(span):
+                    epoch_loss, acc = account_epoch(epoch0 + i, lv[i], cv[i])
+                    if epoch_loss < lowest:
+                        lowest, highest_acc, best_epoch = epoch_loss, acc, epoch0 + i
+            best_params = best[0]
+        else:
+            for epoch in range(num_epochs):
+                lr = step_lr(epoch, lr0, lr_min, lr_decay)
+                perm = rng.permutation(n_items)
                 losses, corrects = [], []
 
                 def batches():
@@ -588,22 +643,12 @@ def train_classifier_chunks_func(
                     params, opt, loss, corr = step(params, opt, x, gidx, jnp.float32(lr))
                     losses.append(loss)
                     corrects.append(corr)
-                loss_stack, corr_stack = jnp.stack(losses), jnp.stack(corrects)
 
-            loss_vals = np.asarray(jax.device_get(loss_stack), dtype=np.float64)
-            corr_vals = np.asarray(jax.device_get(corr_stack), dtype=np.float64)
-            items = max(sum(batch_sizes), 1)
-            epoch_loss = float((loss_vals * np.array(batch_sizes)).sum() / items)
-            acc = float(corr_vals.sum() / items)
-
-            if epoch_loss < lowest:
-                lowest, highest_acc, best_epoch, best_params = epoch_loss, acc, epoch, params
-            if (epoch + 1) % log_every == 0 or epoch == num_epochs - 1:
-                hrs, m, s = hms(time.time() - since)
-                log.info(
-                    f"Epoch [{epoch + 1}/{num_epochs}], Step [{n_batches}/{n_batches}], "
-                    f"Train loss: {epoch_loss:.20f}, {acc:.20f}, Time: {hrs:02d}:{m:02d}:{s:02d}"
-                )
+                loss_vals = np.asarray(jax.device_get(jnp.stack(losses)), dtype=np.float64)
+                corr_vals = np.asarray(jax.device_get(jnp.stack(corrects)), dtype=np.float64)
+                epoch_loss, acc = account_epoch(epoch, loss_vals, corr_vals)
+                if epoch_loss < lowest:
+                    lowest, highest_acc, best_epoch, best_params = epoch_loss, acc, epoch, params
 
         log.info(
             f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest:.20f}, "
