@@ -32,13 +32,27 @@ def _enable_compilation_cache() -> None:
         return
     # forced-CPU runs (tests, dryruns) skip the cache: XLA:CPU AOT artifacts
     # are machine-feature-pinned and can SIGILL if flags drift between runs
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        return
+    for var in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        if os.environ.get(var, "").strip().lower() == "cpu":
+            return
     try:
+        import hashlib
+        import platform
+
         import jax
 
+        # scope the cache per machine fingerprint: home directories are often
+        # shared across cluster hosts, and implicit-CPU fallback would load
+        # another machine's feature-pinned XLA:CPU artifacts (SIGILL risk)
+        try:
+            flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
+        except Exception:
+            flags = platform.processor()
+        fingerprint = hashlib.sha1(
+            (platform.machine() + flags).encode()
+        ).hexdigest()[:12]
         cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "kf2vecfsw_tpu", "xla"
+            os.path.expanduser("~"), ".cache", "kf2vecfsw_tpu", "xla", fingerprint
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

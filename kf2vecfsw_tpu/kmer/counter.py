@@ -207,7 +207,9 @@ class KmerCounter:
         producer (main.py:112-184). For dense-capable k the fast histogram +
         nonzero is ~200x quicker than the sort-based np.unique path."""
         codes = concat_with_separators(seqs, self.k)
-        if self.k <= MAX_DENSE_K:
+        # gate at k<=11 (32 MB transient): beyond that the dense histogram's
+        # 4^k memory spike outweighs the win over the sort-based path
+        if self.k <= min(MAX_DENSE_K, self.max_native_k):
             hist = self._host_count(codes)
             nz = np.nonzero(hist)[0]
             return nz, hist[nz]

@@ -53,7 +53,7 @@ from .checkpoint import save_checkpoint
 from .classifier import load_kf_matrix, write_classes_table
 from .distance import export_embeddings, load_subtree_dist
 from .schedule import step_lr
-from .step import adam_init, adam_update
+from .step import adam_init, adam_update, lr_schedule_args
 
 F32 = np.float32
 
@@ -198,9 +198,11 @@ def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_siz
     """Multi-epoch chunked training as ONE device program: scan over epochs,
     each epoch drawing its permutation and chunk spans on device (the LR
     step schedule too), with best-loss params tracked in the carry. Returns
-    run(params, opt, (best_params, lowest), base_key, epoch0, span, lr_args)
-    -> (params, opt, best, per-epoch-per-batch aux stacks)."""
-    from .step import device_step_lr
+    run(params, opt, (best_params, lowest f32, best_epoch i32), base_key,
+    epoch0, span, lr_args) -> (params, opt, best, per-epoch aux stacks).
+    Checkpoint metadata must come from the returned best tuple — the device
+    f32 loss comparison decides which params were kept."""
+    from .step import device_step_lr, fold_best
 
     n_full = n_items // batch_size
     tail = n_items - n_full * batch_size
@@ -234,19 +236,20 @@ def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_siz
         lr0, lr_min, lr_decay, lr_base, lr_freq = lr_args
 
         def body(carry, e):
-            params, opt, bp, lo = carry
+            params, opt, bp, lo, be = carry
             lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
             params, opt, aux = epoch_fn(params, opt, jax.random.fold_in(base_key, e), lr)
             losses = aux[0] if isinstance(aux, tuple) else aux
             eloss = jnp.sum(losses * batch_weights) / jnp.sum(batch_weights)
             better = eloss < lo
-            bp = jax.tree.map(lambda b, p: jnp.where(better, p, b), bp, params)
+            bp = fold_best(better, bp, params)
             lo = jnp.where(better, eloss, lo)
-            return (params, opt, bp, lo), aux
+            be = jnp.where(better, e, be)
+            return (params, opt, bp, lo, be), aux
 
         carry = (params, opt) + tuple(best)
-        (params, opt, bp, lo), aux = jax.lax.scan(body, carry, epoch0 + jnp.arange(span))
-        return params, opt, (bp, lo), aux
+        (params, opt, bp, lo, be), aux = jax.lax.scan(body, carry, epoch0 + jnp.arange(span))
+        return params, opt, (bp, lo, be), aux
 
     jitted = jax.jit(span_impl, static_argnums=(6,), donate_argnums=(0, 1, 2))
 
@@ -430,21 +433,18 @@ def train_model_set_chunks_func(
                 span_run = make_chunked_span_runner(
                     loss_and_grad_step, dstore, n_items, batch_size, draws=2
                 )
-                lr_args = (
-                    lr0, lr_min, lr_decay,
-                    defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ,
-                )
-                best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf))
+                lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
+                best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
                 for epoch0, span in split_spans(0, num_epochs, []):
                     params, opt, best, loss_mat = span_run(
                         params, opt, best, epoch_key, epoch0, span, lr_args
                     )
                     lv = np.asarray(jax.device_get(loss_mat), dtype=np.float64)
                     for i in range(span):
-                        epoch_loss = account_epoch(epoch0 + i, lv[i])
-                        if epoch_loss < lowest:
-                            lowest, best_epoch = epoch_loss, epoch0 + i
-                best_params = best[0]
+                        account_epoch(epoch0 + i, lv[i])
+                # the device comparison decided which params were kept — use
+                # its values for the checkpoint metadata too
+                best_params, lowest, best_epoch = best[0], float(best[1]), int(best[2])
             else:
                 for epoch in range(num_epochs):
                     lr = step_lr(epoch, lr0, lr_min, lr_decay)
@@ -612,11 +612,9 @@ def train_classifier_chunks_func(
             span_run = make_chunked_span_runner(
                 loss_and_grad_step, dstore, n_items, batch_size, draws=1
             )
-            lr_args = (
-                lr0, lr_min, lr_decay,
-                defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ,
-            )
-            best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf))
+            lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
+            best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
+            epoch_accs: list[float] = []
             for epoch0, span in split_spans(0, num_epochs, []):
                 params, opt, best, (loss_mat, corr_mat) = span_run(
                     params, opt, best, key, epoch0, span, lr_args
@@ -624,10 +622,11 @@ def train_classifier_chunks_func(
                 lv = np.asarray(jax.device_get(loss_mat), dtype=np.float64)
                 cv = np.asarray(jax.device_get(corr_mat), dtype=np.float64)
                 for i in range(span):
-                    epoch_loss, acc = account_epoch(epoch0 + i, lv[i], cv[i])
-                    if epoch_loss < lowest:
-                        lowest, highest_acc, best_epoch = epoch_loss, acc, epoch0 + i
-            best_params = best[0]
+                    _, acc = account_epoch(epoch0 + i, lv[i], cv[i])
+                    epoch_accs.append(acc)
+            # device comparison decided the kept params; metadata follows it
+            best_params, lowest, best_epoch = best[0], float(best[1]), int(best[2])
+            highest_acc = epoch_accs[best_epoch] if 0 <= best_epoch < len(epoch_accs) else -1.0
         else:
             for epoch in range(num_epochs):
                 lr = step_lr(epoch, lr0, lr_min, lr_decay)

@@ -30,7 +30,7 @@ from ..utils.logging import close_logger, make_run_logger, timestamp
 from ..utils.timing import hms
 from .checkpoint import load_checkpoint, save_checkpoint
 from .schedule import step_lr
-from .step import ClassifierEpochRunner, adam_init, split_spans
+from .step import ClassifierEpochRunner, adam_init, lr_schedule_args, split_spans
 
 VOCAB_SIZES_TO_K = {32: 3, 136: 4, 512: 5, 2080: 6, 8192: 7, 32896: 8, 131072: 9}
 
@@ -179,7 +179,7 @@ def _train(
     log.info("\n==> Training model...\n")
 
     n_batches = runner.n_batches
-    lr_args = (lr0, lr_min, lr_decay, defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ)
+    lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
     # epochs run in multi-epoch device spans: LR schedule, permutations and
     # best-(loss, acc, params, epoch) tracking all on device; one dispatch +
     # one loss/acc fetch per span instead of one round trip per epoch

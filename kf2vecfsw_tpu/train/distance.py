@@ -35,7 +35,7 @@ from ..utils.timing import hms
 from .checkpoint import save_checkpoint
 from .classifier import load_kf_matrix
 from .schedule import step_lr
-from .step import DistanceEpochRunner, adam_init, split_spans
+from .step import DistanceEpochRunner, adam_init, lr_schedule_args, split_spans
 
 F32 = np.float32
 
@@ -381,10 +381,7 @@ def _train_all(
             # best-(loss, params, epoch) tracking run on device; one dispatch
             # + one loss fetch per span instead of a round trip per epoch.
             # Span boundaries align with autosave/snapshot epochs.
-            lr_args = (
-                lr0, lr_min, lr_decay,
-                defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ,
-            )
+            lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
             boundaries: set[int] = set()
             if autosave_every:
                 boundaries.update(range(autosave_every, num_epochs, autosave_every))
@@ -395,10 +392,14 @@ def _train_all(
                 jnp.float32(lowest),
                 jnp.int32(best_epoch),
             )
-            first = True
+            span_i = 0
             for epoch0, span in split_spans(start_epoch, num_epochs, sorted(boundaries)):
-                trace_ctx = maybe_trace(f"train_model_clade_{c}") if first else contextlib.nullcontext()
-                first = False
+                # profile the SECOND span: the first is compile warmup, so a
+                # trace of it would be dominated by compilation
+                trace_ctx = (
+                    maybe_trace(f"train_model_clade_{c}") if span_i == 1 else contextlib.nullcontext()
+                )
+                span_i += 1
                 with trace_ctx:
                     params, opt, best, losses = runner.run_epoch_span(
                         params, opt, best, feats_train, dist_train, key, epoch0, span, lr_args

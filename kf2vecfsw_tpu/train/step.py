@@ -111,13 +111,15 @@ def _batch_index_plan(n_items: int, batch: int, batch_pad: int, n_batches: int, 
 
 
 def bucket_items(n_items: int, floor: int = 8) -> int:
-    """Pad the item dimension to a power-of-2 bucket so compiled programs
-    depend only on the bucket, not the exact clade size — a library build
-    over many subtrees then reuses a handful of XLA programs instead of
-    compiling per subtree."""
+    """Pad the item dimension to a geometric bucket (ratio 1.25, multiples
+    of 8) so compiled programs depend only on the bucket, not the exact
+    clade size — a library build over many subtrees then reuses a bounded
+    set of XLA programs. The gentle ratio caps the all-fake padding-batch
+    compute waste at ~25% (a power-of-2 ladder wastes up to 2x just above
+    a bucket edge)."""
     b = floor
     while b < n_items:
-        b *= 2
+        b = -(-int(b * 1.25) // 8) * 8
     return b
 
 
@@ -152,6 +154,27 @@ def _batch_index_plan_dyn(
 
 def _mesh_axes(mesh):
     return mesh.shape[DATA_AXIS], mesh.shape.get(MODEL_AXIS, 1)
+
+
+def pad_axis0(arr, n_bucket: int, value=0):
+    """Pad axis 0 to the compile bucket (shared by both epoch runners)."""
+    extra = n_bucket - arr.shape[0]
+    if extra <= 0:
+        return jnp.asarray(arr)
+    widths = [(0, extra)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(jnp.asarray(arr), widths, constant_values=value)
+
+
+def lr_schedule_args(lr0: float, lr_min: float, lr_decay: float):
+    """The 5-tuple consumed by device_step_lr / the span runners."""
+    from .. import defaults
+
+    return (lr0, lr_min, lr_decay, defaults.LEARNING_RATE_BASE, defaults.LEARNING_RATE_UPDATE_FREQ)
+
+
+def fold_best(better, best_params, params):
+    """Device best-state select shared by all span runners."""
+    return jax.tree.map(lambda b, p: jnp.where(better, p, b), best_params, params)
 
 
 def device_step_lr(epoch, lr0, lr_min, decay, base, update_freq):
@@ -296,11 +319,7 @@ class DistanceEpochRunner:
 
     def pad_items(self, arr, value: float = 0.0):
         """Pad axis 0 from n_items to the compile bucket."""
-        extra = self.n_bucket - arr.shape[0]
-        if extra <= 0:
-            return jnp.asarray(arr)
-        widths = [(0, extra)] + [(0, 0)] * (arr.ndim - 1)
-        return jnp.pad(jnp.asarray(arr), widths, constant_values=value)
+        return pad_axis0(arr, self.n_bucket, value)
 
     def pad_dist(self, dist, value: float = 0.0):
         """Pad a square true-distance matrix to (bucket, bucket)."""
@@ -328,9 +347,7 @@ class DistanceEpochRunner:
             )
             params, opt, eloss, _ = self._epoch_sharded(params, opt, feats, dist, idx, mask, lr)
             better = eloss < lowest
-            best_params = jax.tree.map(
-                lambda b, p: jnp.where(better, p, b), best_params, params
-            )
+            best_params = fold_best(better, best_params, params)
             lowest = jnp.where(better, eloss, lowest)
             best_epoch = jnp.where(better, e, best_epoch)
             return (params, opt, best_params, lowest, best_epoch), eloss
@@ -479,11 +496,7 @@ class ClassifierEpochRunner:
         return self._epoch_sharded(params, opt, feats, labels, idx, mask, lr)
 
     def pad_items(self, arr, value=0):
-        extra = self.n_bucket - arr.shape[0]
-        if extra <= 0:
-            return jnp.asarray(arr)
-        widths = [(0, extra)] + [(0, 0)] * (arr.ndim - 1)
-        return jnp.pad(jnp.asarray(arr), widths, constant_values=value)
+        return pad_axis0(arr, self.n_bucket, value)
 
     def run_epoch(self, params, opt, feats, labels, key, lr):
         params, opt, loss, acc = self._run(
@@ -505,9 +518,7 @@ class ClassifierEpochRunner:
                 params, opt, feats, labels, idx, mask, lr
             )
             better = eloss < lowest
-            best_params = jax.tree.map(
-                lambda b, p: jnp.where(better, p, b), best_params, params
-            )
+            best_params = fold_best(better, best_params, params)
             lowest = jnp.where(better, eloss, lowest)
             best_acc = jnp.where(better, eacc, best_acc)
             best_epoch = jnp.where(better, e, best_epoch)
