@@ -162,10 +162,77 @@ def bench_chunks() -> dict:
     }
 
 
+def bench_serving() -> dict:
+    """End-to-end query placement throughput: classify + query over .kf
+    files on disk -> classes.out + APPLES distance matrices (the deployed
+    serving path incl. text parse/format). 512 queries, V=8192 (k=7),
+    850-genome backbone, one subtree."""
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from kf2vecfsw_tpu.infer.classify import classify_func
+    from kf2vecfsw_tpu.infer.query import query_func
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.models.mlp import init_classifier, init_dist_embed
+    from kf2vecfsw_tpu.train.checkpoint import save_checkpoint
+    from kf2vecfsw_tpu.train.distance import f32_row
+    from kf2vecfsw_tpu.train.step import adam_init  # noqa: F401  (warm import)
+
+    rng = np.random.default_rng(11)
+    nq, v, nb, e = 512, 8192, 850, 1024
+    key = jax.random.PRNGKey(0)
+    with tempfile.TemporaryDirectory() as d:
+        qdir = os.path.join(d, "q")
+        mdir = os.path.join(d, "m")
+        odir = os.path.join(d, "o")
+        for p in (qdir, mdir, odir):
+            os.makedirs(p)
+        # one .kf per query: the layout query_func streams (reference
+        # query.py:148-154 cats {genome}.kf per assigned query)
+        files = []
+        for i in range(nq):
+            p = os.path.join(qdir, f"q{i}.kf")
+            write_kf(p, [(f"q{i}", rng.random(v) / v)])
+            files.append(p)
+        save_checkpoint(
+            os.path.join(mdir, "classifier_model.ckpt"),
+            "NeuralNetClassifierOnly",
+            {"model_input_size": v, "model_hidden_size_fc1": 2048, "model_class_count": 2},
+            init_classifier(key, v, 2048, 2),
+        )
+        save_checkpoint(
+            os.path.join(mdir, "model_subtree_0.ckpt"),
+            "NeuralNet",
+            {"model_input_size": v, "model_hidden_size_fc1": 2048, "model_embedding_size": e},
+            init_dist_embed(key, v, 2048, e),
+        )
+        save_checkpoint(
+            os.path.join(mdir, "model_subtree_1.ckpt"),
+            "NeuralNet",
+            {"model_input_size": v, "model_hidden_size_fc1": 2048, "model_embedding_size": e},
+            init_dist_embed(key, v, 2048, e),
+        )
+        emb = rng.normal(size=(nb, e)).astype(np.float32)
+        for c in (0, 1):
+            with open(os.path.join(mdir, f"embeddings_subtree_{c}.csv"), "w") as f:
+                for i in range(nb):
+                    f.write(f"g{i}\t" + f32_row(emb[i]))
+        classify_func(qdir, files, mdir, 28, odir)  # warm (jit compiles)
+        query_func(qdir, files, mdir, odir, 28, odir)
+        t0 = time.perf_counter()
+        classify_func(qdir, files, mdir, 28, odir)
+        query_func(qdir, files, mdir, odir, 28, odir)
+        dt = time.perf_counter() - t0
+    return {"serving_queries_per_s": round(nq / dt, 1)}
+
+
 def main():
     steps_per_s = bench_train_steps()
     extra = bench_vectorization()
     extra.update(bench_chunks())
+    extra.update(bench_serving())
     result = {
         "metric": "train_steps_per_s_per_chip",
         "value": round(steps_per_s, 3),

@@ -82,9 +82,13 @@ def load_subtree_dist(true_dist_dir: str, clade: int, order: list[str]) -> np.nd
 
 
 def pad_point_sets(mats: list[np.ndarray]) -> np.ndarray:
-    """Zero-pad variable-length (N_i, k+1) FSW matrices to (n, Nmax, k+1);
-    padded rows carry weight 0 (pad_collate, train_model_set.py:72-90)."""
-    n_max = max(m.shape[0] for m in mats)
+    """Zero-pad variable-length (N_i, k+1) FSW matrices to (n, Nbucket, k+1);
+    padded rows carry weight 0 (pad_collate, train_model_set.py:72-90). The
+    point-set length pads to a geometric bucket so FSW programs are reused
+    across clades/query blocks instead of recompiling per max-N."""
+    from .step import bucket_items
+
+    n_max = bucket_items(max(m.shape[0] for m in mats), floor=128)
     width = mats[0].shape[1]
     out = np.zeros((len(mats), n_max, width), dtype=np.float32)
     for i, m in enumerate(mats):
