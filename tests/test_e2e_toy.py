@@ -94,6 +94,32 @@ def test_query_outputs(pipeline):
         assert os.path.exists(emb_file)
 
 
+def test_query_remap_renames_output_labels(pipeline):
+    """-remap renames query row labels in the APPLES matrices and .emb
+    (reference query.py:96-104,160-163; TSV with label/new_label header)."""
+    work = pipeline
+    remap_path = os.path.join(work, "remap.tsv")
+    with open(remap_path, "w") as f:
+        f.write("label\tnew_label\n")
+        f.write("G000402355sub\tRENAMED_A\n")
+    out2 = os.path.join(work, "results_remap")
+    os.makedirs(out2, exist_ok=True)
+    test_files = sorted(glob.glob(f"{work}/testkf/*.kf"))
+    query_func(
+        f"{work}/testkf", test_files, f"{work}/models", f"{work}/results", 28,
+        out2, remap_path=remap_path,
+    )
+    labels = []
+    for df in sorted(glob.glob(os.path.join(out2, "apples_input_di_mtrx_subtree_*.csv"))):
+        with open(df) as f:
+            f.readline()
+            labels += [line.split("\t", 1)[0] for line in f if line.strip()]
+    assert "RENAMED_A" in labels
+    assert "G000402355sub" not in labels
+    # unmapped queries keep their names
+    assert any(l != "RENAMED_A" for l in labels)
+
+
 def test_distortions_consistent_with_embeddings(pipeline):
     models = os.path.join(pipeline, "models")
     names, emb = read_embeddings_csv(os.path.join(models, "embeddings_subtree_0.csv"))
