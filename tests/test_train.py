@@ -102,6 +102,52 @@ def test_eval_loss_partition():
     assert np.isclose(ev, manual, rtol=1e-5)
 
 
+def test_train_model_set_test_set_holdout(tmp_path):
+    """-test_set excludes the listed genomes from training and logs a test
+    loss per epoch (train_model_set.py:213-216,309-314,539-571)."""
+    import glob
+    import os
+
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.train.distance import train_model_set_func
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    rng = np.random.default_rng(0)
+    v, n = 32, 6
+    names = [f"g{i}" for i in range(n)]
+    kf_dir = tmp_path / "kf"
+    out_dir = tmp_path / "models"
+    kf_dir.mkdir()
+    out_dir.mkdir()
+    for name in names:
+        vec = rng.random(v)
+        write_kf(str(kf_dir / f"{name}.kf"), [(name, vec / vec.sum())])
+    with open(tmp_path / "t.subtrees", "w") as f:
+        f.write("genome clade\n")
+        for name in names:
+            f.write(f"{name} 0\n")
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+    write_di_mtrx(str(tmp_path / "t_subtree_0.di_mtrx"), names, d)
+    with open(tmp_path / "holdout.txt", "w") as f:
+        f.write("g5.kf\n")
+
+    train_model_set_func(
+        str(kf_dir), sorted(glob.glob(str(kf_dir / "*.kf"))), str(tmp_path / "t.subtrees"),
+        str(tmp_path), 6, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28, str(out_dir),
+        test_ids_path=str(tmp_path / "holdout.txt"), use_fsw=False, log_every=1,
+    )
+    log_file = sorted(glob.glob(str(out_dir / "train_model_*.log")))[0]
+    text = open(log_file).read()
+    assert "Number of Train Samples: 5" in text
+    assert "Number of Test Samples: 1" in text
+    assert "Test loss:" in text
+    # embeddings still cover the FULL backbone incl. the held-out genome
+    emb = open(out_dir / "embeddings_subtree_0.csv").read().splitlines()
+    assert len(emb) == n and any(l.startswith("g5\t") for l in emb)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     key = jax.random.PRNGKey(4)
     params = init_dist_embed(key, 16, 8, 4)
