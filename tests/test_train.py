@@ -148,6 +148,51 @@ def test_train_model_set_test_set_holdout(tmp_path):
     assert len(emb) == n and any(l.startswith("g5\t") for l in emb)
 
 
+def test_train_model_set_save_interval_snapshots(tmp_path):
+    """-save_interval writes model_epoch_{n}/ snapshots (epoch%interval==0
+    plus the final epoch) and re-embeds each (train_model_set.py:507-519,
+    646-683) — span boundaries must align so snapshots see the right params."""
+    import glob
+    import os
+
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.train.distance import train_model_set_func
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    rng = np.random.default_rng(1)
+    v, n = 32, 4
+    names = [f"g{i}" for i in range(n)]
+    kf_dir = tmp_path / "kf"
+    out_dir = tmp_path / "models"
+    kf_dir.mkdir()
+    out_dir.mkdir()
+    for name in names:
+        vec = rng.random(v)
+        write_kf(str(kf_dir / f"{name}.kf"), [(name, vec / vec.sum())])
+    with open(tmp_path / "t.subtrees", "w") as f:
+        f.write("genome clade\n")
+        for name in names:
+            f.write(f"{name} 0\n")
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+    write_di_mtrx(str(tmp_path / "t_subtree_0.di_mtrx"), names, d)
+
+    train_model_set_func(
+        str(kf_dir), sorted(glob.glob(str(kf_dir / "*.kf"))), str(tmp_path / "t.subtrees"),
+        str(tmp_path), 7, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28, str(out_dir),
+        save_interval=3, use_fsw=False, log_every=10,
+    )
+    # snapshots at epochs 0, 3, 6 (0-based; epoch%3==0) and final epoch 6
+    subdirs = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("model_epoch_")
+    )
+    assert subdirs == ["model_epoch_1", "model_epoch_4", "model_epoch_7"], subdirs
+    for sub in subdirs:
+        assert os.path.exists(out_dir / sub / "model_subtree_0.ckpt")
+        assert os.path.exists(out_dir / sub / "embeddings_subtree_0.csv")
+
+
 def test_checkpoint_roundtrip(tmp_path):
     key = jax.random.PRNGKey(4)
     params = init_dist_embed(key, 16, 8, 4)
