@@ -58,6 +58,27 @@ from .step import adam_init, adam_update, lr_schedule_args
 F32 = np.float32
 
 
+def _check_fullgenome_width(input_dir_fullgenomes: str, names: list[str], input_size: int) -> None:
+    """Fail fast when -input_dir_fullgenomes features were built at a
+    different k than the chunk features: the mismatch otherwise surfaces as
+    a raw shape error in the final full-genome pass AFTER all epochs ran."""
+    from ..io.kf import read_kf
+
+    for g in names[:1]:
+        p = os.path.join(input_dir_fullgenomes, g + ".kf")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"-input_dir_fullgenomes is missing {g}.kf (needed for the final full-genome pass)"
+            )
+        _, probe = read_kf(p)
+        if probe.shape[1] != input_size:
+            raise ValueError(
+                f"full-genome feature width {probe.shape[1]} != chunk feature width "
+                f"{input_size}: -input_dir and -input_dir_fullgenomes must be built "
+                f"with the same k"
+            )
+
+
 class ChunkStore:
     """Host-resident chunk matrices + span sampling.
 
@@ -345,6 +366,7 @@ def train_model_set_chunks_func(
             input_size = store.input_size
             n_items = len(backbone_names)
             log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
+            _check_fullgenome_width(input_dir_fullgenomes, backbone_names, input_size)
 
             dist = load_subtree_dist(true_dist_dir, c, backbone_names).astype(F32)
             dist_dev = jax.device_put(dist)
@@ -549,6 +571,8 @@ def train_classifier_chunks_func(
         log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
         log.info(f"Masking: {custom_mask}")
         log.info(f"Cap kmer frequencies: {cap_data}")
+        if column_mask is None:
+            _check_fullgenome_width(input_dir_fullgenomes, names, input_size)
 
         clade_map = dict(read_subtrees(clades_info))
         labels = np.array([clade_map[n] for n in names], dtype=np.int32)

@@ -155,6 +155,23 @@ def test_chunked_classifier_trainer(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "backbone_classes.out"))
 
 
+def test_chunked_trainer_rejects_mismatched_fullgenome_k(tmp_path):
+    """k mismatch between -input_dir and -input_dir_fullgenomes must fail
+    fast, not crash in the final pass after all epochs ran."""
+    chunks_dir, full_dir, out_dir, sub_path, names = _make_fixture(str(tmp_path))
+    # rewrite the full-genome .kf at a different width (wrong k)
+    rng = np.random.default_rng(5)
+    for name in names:
+        bad = rng.random(8)
+        write_kf(os.path.join(full_dir, f"{name}.kf"), [(name, bad / bad.sum())])
+    with pytest.raises(ValueError, match="full-genome feature width"):
+        train_model_set_chunks_func(
+            chunks_dir, full_dir, sorted(glob.glob(os.path.join(chunks_dir, "*.kf"))),
+            sub_path, str(tmp_path), 2, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28,
+            False, out_dir,
+        )
+
+
 def test_chunk_store_uniform_sampler():
     import tempfile
 
