@@ -164,6 +164,24 @@ def _cmd_process_query_data(args):
         args.output_dir, files, args.classifier_model, args.cl_seed, args.output_dir,
         D.DEFAULT_BLOCK_SZ,
     )
+    # FSW subtree models consume {name}_k{k}.npy point sets rather than .kf
+    # vectors — produce them from the raw queries before querying (the
+    # reference could never query FSW models at all; query.py:118-126)
+    fsw_ks = set()
+    from .train.checkpoint import load_checkpoint
+
+    for ckpt in glob.glob(os.path.join(args.distance_model, "model_subtree_*.ckpt")):
+        try:
+            model_name, meta, _ = load_checkpoint(ckpt)
+        except Exception:
+            continue
+        if model_name == "NeuralNetFSW":
+            fsw_ks.add(int(meta.get("fsw_k", meta["model_input_size"] - 1)))
+    for fk in sorted(fsw_ks):
+        print(f"\n==> Computing k-mer point sets for FSW models (k={fk})\n")
+        from .ingest.kmers import get_kmers
+
+        get_kmers(args.input_dir, args.output_dir, k=fk)
     print("\n==> Computing model distances\n")
     query_func(
         args.output_dir, files, args.distance_model, args.output_dir, args.di_seed,

@@ -67,7 +67,16 @@ def classify_func(
                         f"feature width {mat.shape[1]} != model input {input_size}"
                     )
                 x = mat * np.float32(defaults.FEATURES_SCALER)
-                probs = np.exp(np.asarray(forward(params, x)))
+                # rows pad to a geometric bucket so XLA compiles a bounded
+                # set of programs even when block row counts vary (chunked
+                # query files contribute variable rows per file)
+                from ..train.step import bucket_items
+
+                n_rows = x.shape[0]
+                n_pad = bucket_items(max(n_rows, 1), floor=64)
+                if n_pad != n_rows:
+                    x = np.pad(x, ((0, n_pad - n_rows), (0, 0)))
+                probs = np.exp(np.asarray(forward(params, x))[:n_rows])
                 top = probs.argmax(axis=1)
                 for i, name in enumerate(names):
                     row = [

@@ -164,7 +164,17 @@ def _kf_block_loader(folder: str):
 
 def _npy_block_loader(folder: str, k: int):
     def load(ids: list[str]):
-        mats = [np.load(os.path.join(folder, f"{g}_k{k}.npy")).astype(np.float32) for g in ids]
+        mats = []
+        for g in ids:
+            p = os.path.join(folder, f"{g}_k{k}.npy")
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"FSW distance model needs k-mer point sets, but {p} is missing. "
+                    f"Run `kf2vec get_kmers -input_dir {folder} -output_dir {folder} -k {k}` "
+                    f"on the query genomes first (process_query_data does this "
+                    f"automatically when the library is FSW)."
+                )
+            mats.append(np.load(p).astype(np.float32))
         return ids, pad_point_sets(mats)
 
     return load

@@ -25,6 +25,8 @@ def write_secondary_classes(classes_path: str) -> list[str]:
     i_top = header.index("top_class")
     i_p = header.index("top_p")
     prob_start = i_p + 1
+    if not rows:  # header-only classes.out: nothing to rank
+        return []
     probs = np.array([[float(v) for v in r[prob_start:]] for r in rows])
     order = np.argsort(-probs, axis=1)
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import sys
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -26,13 +27,22 @@ from ..kmer.counter import KmerCounter
 def _check_dir(path: str, what: str) -> None:
     if not os.path.exists(path):
         print(f"No such directory '{path}'", file=sys.stderr)
-        raise SystemExit(0)
+        raise SystemExit(1)
 
 
-def _finalize_vec(vec: np.ndarray, pseudocount: bool, raw_cnt: bool) -> np.ndarray:
+def _finalize_vec(vec: np.ndarray, pseudocount: bool, raw_cnt: bool, name: str = "") -> np.ndarray:
     if pseudocount:
         vec = vec + 0.5
     if not raw_cnt:
+        if vec.sum() == 0:
+            # all-N / too-short input: the normalized row will be all-NaN
+            # (reference parity: pandas df/df.sum() does the same) — but warn
+            # loudly so the poison is traceable to its source
+            print(
+                f"WARNING: no valid k-mers counted{f' for {name}' if name else ''}; "
+                "writing an all-NaN .kf row",
+                file=sys.stderr,
+            )
         with np.errstate(invalid="ignore", divide="ignore"):
             vec = vec / vec.sum()
     return vec
@@ -88,13 +98,26 @@ def get_frequencies(
         vecs = counter.feature_vector_finish_batch([tok for _, tok in batch])
         for (fname, _), counts in zip(batch, vecs):
             name = sample_name(fname)
-            vec = _finalize_vec(counts, pseudocount, raw_cnt)
+            vec = _finalize_vec(counts, pseudocount, raw_cnt, name=name)
             out_path = os.path.join(output_dir, f"{name}.kf")
             write_kf(out_path, [(name, vec)])
             written.append(out_path)
 
+    # bounded reader window: Executor.map would submit ALL files eagerly and
+    # buffer every loaded genome in memory while the consumer drains — the
+    # window caps residency at ~(threads + MAX_INFLIGHT) genomes
     with ThreadPoolExecutor(max_workers=threads) as pool:
-        for fname, seqs in pool.map(load, files):
+        pending = deque()
+        it = iter(files)
+        for fname in it:
+            pending.append(pool.submit(load, fname))
+            if len(pending) >= threads + MAX_INFLIGHT:
+                break
+        while pending:
+            fname, seqs = pending.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(pool.submit(load, nxt))
             inflight.append((fname, counter.count_begin(seqs)))
             if len(inflight) >= MAX_INFLIGHT:
                 drain_all()

@@ -20,7 +20,7 @@ def _load_tree(tree_path: str) -> Tree:
         return read_tree_newick(tree_path)
     except OSError:
         print(f"No such file '{tree_path}'", file=sys.stderr)
-        raise SystemExit(0)
+        raise SystemExit(1)
 
 
 def divide_tree(tree_path: str, size: int) -> str:
@@ -96,7 +96,7 @@ def get_distances(tree_path: str, subtrees: str | None, mode: str = "subtrees_on
                 "change mode to full_only",
                 file=sys.stderr,
             )
-            raise SystemExit(0)
+            raise SystemExit(1)
         rows = read_subtrees(subtrees)
         clades = sorted({c for _, c in rows})
         for c in clades:

@@ -195,34 +195,55 @@ class DeviceChunkStore:
         return DeviceChunkStore.nbytes(matrices) <= budget
 
     def _sample_one(self, key, gi):
-        c = self.counts_dev[gi]
-        k1, k2, k3 = jax.random.split(key, 3)
-        nrows = jnp.floor(jax.random.exponential(k1) * (c.astype(jnp.float32) / 5.0)).astype(jnp.int32) + 1
-        alt = jax.random.randint(k2, (), 1, c + 1)
-        nrows = jnp.where(nrows > c, alt, nrows)
-        ix = jax.random.randint(k3, (), 0, c - nrows + 1)
-        row = self.prefix[gi]
-        vec = (row[ix + nrows] - row[ix]).astype(jnp.float32)
-        total = jnp.sum(vec)
-        return jnp.where(total > 0, vec / total, 0.0) * self.scaler
+        return _sample_chunk_span(self.prefix, self.counts_dev, self.scaler, key, gi)
 
     def sample_batch(self, key, genome_indices, draws: int):
         """(len(indices)*draws, V) float32, `draws` consecutive rows per
-        genome — jit-traceable; genome_indices is a (B,) int32 array."""
-        b = genome_indices.shape[0]
-        keys = jax.random.split(key, b * draws)
-        gis = jnp.repeat(genome_indices, draws)
-        return jax.vmap(self._sample_one)(keys, gis)
+        genome — jit-traceable; genome_indices is a (B,) int32 array.
+
+        NOTE: inside jit, prefer sample_chunk_batch(prefix, counts, ...) with
+        the buffers passed as ARGUMENTS — closure-captured multi-GB arrays
+        become jaxpr constants and blow up (remote) compilation."""
+        return sample_chunk_batch(
+            self.prefix, self.counts_dev, self.scaler, key, genome_indices, draws
+        )
 
 
-def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_size: int, draws: int):
+def _sample_chunk_span(prefix, counts, scaler, key, gi):
+    c = counts[gi]
+    k1, k2, k3 = jax.random.split(key, 3)
+    nrows = jnp.floor(jax.random.exponential(k1) * (c.astype(jnp.float32) / 5.0)).astype(jnp.int32) + 1
+    alt = jax.random.randint(k2, (), 1, c + 1)
+    nrows = jnp.where(nrows > c, alt, nrows)
+    ix = jax.random.randint(k3, (), 0, c - nrows + 1)
+    row = prefix[gi]
+    vec = (row[ix + nrows] - row[ix]).astype(jnp.float32)
+    total = jnp.sum(vec)
+    return jnp.where(total > 0, vec / total, 0.0) * scaler
+
+
+def sample_chunk_batch(prefix, counts, scaler, key, genome_indices, draws: int):
+    """Pure-function span sampler (buffers as args, jit-friendly)."""
+    b = genome_indices.shape[0]
+    keys = jax.random.split(key, b * draws)
+    gis = jnp.repeat(genome_indices, draws)
+    return jax.vmap(lambda k, g: _sample_chunk_span(prefix, counts, scaler, k, g))(keys, gis)
+
+
+def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_size: int, draws: int, consts=()):
     """Multi-epoch chunked training as ONE device program: scan over epochs,
     each epoch drawing its permutation and chunk spans on device (the LR
     step schedule too), with best-loss params tracked in the carry. Returns
     run(params, opt, (best_params, lowest f32, best_epoch i32), base_key,
     epoch0, span, lr_args) -> (params, opt, best, per-epoch aux stacks).
     Checkpoint metadata must come from the returned best tuple — the device
-    f32 loss comparison decides which params were kept."""
+    f32 loss comparison decides which params were kept.
+
+    The chunk prefix store and `consts` (e.g. the true-distance matrix /
+    label vector needed by loss_and_grad_step(params, opt, x, idx, lr,
+    consts)) are passed as jit ARGUMENTS: closure-captured device arrays
+    become jaxpr constants, and a multi-GB constant overflows (remote)
+    compilation requests."""
     from .step import device_step_lr, fold_best
 
     n_full = n_items // batch_size
@@ -231,7 +252,7 @@ def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_siz
         [batch_size] * n_full + ([tail] if tail else []), jnp.float32
     )
 
-    def epoch_fn(params, opt, key_e, lr):
+    def epoch_fn(params, opt, prefix, counts, consts_v, key_e, lr):
         perm = jax.random.permutation(jax.random.fold_in(key_e, 0), n_items).astype(jnp.int32)
         aux_parts = []
         if n_full:
@@ -239,27 +260,33 @@ def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_siz
             def body(carry, bi):
                 params, opt = carry
                 gidx = jax.lax.dynamic_slice_in_dim(perm, bi * batch_size, batch_size)
-                x = dstore.sample_batch(jax.random.fold_in(key_e, 1 + bi), gidx, draws)
-                params, opt, aux = loss_and_grad_step(params, opt, x, gidx, lr)
+                x = sample_chunk_batch(
+                    prefix, counts, dstore.scaler, jax.random.fold_in(key_e, 1 + bi), gidx, draws
+                )
+                params, opt, aux = loss_and_grad_step(params, opt, x, gidx, lr, consts_v)
                 return (params, opt), aux
 
             (params, opt), aux_full = jax.lax.scan(body, (params, opt), jnp.arange(n_full))
             aux_parts.append(aux_full)
         if tail:
             gidx = perm[n_full * batch_size :]
-            x = dstore.sample_batch(jax.random.fold_in(key_e, 1 + n_full), gidx, draws)
-            params, opt, aux_t = loss_and_grad_step(params, opt, x, gidx, lr)
+            x = sample_chunk_batch(
+                prefix, counts, dstore.scaler, jax.random.fold_in(key_e, 1 + n_full), gidx, draws
+            )
+            params, opt, aux_t = loss_and_grad_step(params, opt, x, gidx, lr, consts_v)
             aux_parts.append(jax.tree.map(lambda a: jnp.asarray(a)[None], aux_t))
         aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
         return params, opt, aux
 
-    def span_impl(params, opt, best, base_key, epoch0, lr_args, span):
+    def span_impl(params, opt, best, prefix, counts, consts_v, base_key, epoch0, lr_args, span):
         lr0, lr_min, lr_decay, lr_base, lr_freq = lr_args
 
         def body(carry, e):
             params, opt, bp, lo, be = carry
             lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
-            params, opt, aux = epoch_fn(params, opt, jax.random.fold_in(base_key, e), lr)
+            params, opt, aux = epoch_fn(
+                params, opt, prefix, counts, consts_v, jax.random.fold_in(base_key, e), lr
+            )
             losses = aux[0] if isinstance(aux, tuple) else aux
             eloss = jnp.sum(losses * batch_weights) / jnp.sum(batch_weights)
             better = eloss < lo
@@ -272,11 +299,14 @@ def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_siz
         (params, opt, bp, lo, be), aux = jax.lax.scan(body, carry, epoch0 + jnp.arange(span))
         return params, opt, (bp, lo, be), aux
 
-    jitted = jax.jit(span_impl, static_argnums=(6,), donate_argnums=(0, 1, 2))
+    jitted = jax.jit(span_impl, static_argnums=(9,), donate_argnums=(0, 1, 2))
 
     def run(params, opt, best, base_key, epoch0, span, lr_args):
         lr_args = tuple(jnp.float32(v) for v in lr_args[:4]) + (jnp.int32(lr_args[4]),)
-        return jitted(params, opt, tuple(best), base_key, jnp.int32(epoch0), lr_args, int(span))
+        return jitted(
+            params, opt, tuple(best), dstore.prefix, dstore.counts_dev, tuple(consts),
+            base_key, jnp.int32(epoch0), lr_args, int(span),
+        )
 
     return run
 
@@ -382,21 +412,23 @@ def train_model_set_chunks_func(
             else:
                 log.info("Chunk store: host streaming (prefix array exceeds device budget)")
 
-            def loss_from_x(p, x, idx):
+            def loss_from_x(p, x, idx, dmat):
                 emb = dist_embed_apply(p, x)
                 md = pairwise_l2_exact(emb)
                 ridx = jnp.repeat(idx, 2)
-                td = dist_dev[jnp.ix_(ridx, ridx)]
+                td = dmat[jnp.ix_(ridx, ridx)]
                 return chunks_weighted_sqrt_mse(md, td)
 
+            # the distance matrix is a jit ARGUMENT everywhere (closure
+            # constants ship with every compile request)
             @jax.jit
-            def step(params, opt, x, idx, lr):
-                loss, grads = jax.value_and_grad(loss_from_x)(params, x, idx)
+            def step(params, opt, x, idx, lr, dmat):
+                loss, grads = jax.value_and_grad(loss_from_x)(params, x, idx, dmat)
                 params, opt = adam_update(params, grads, opt, lr)
                 return params, opt, loss
 
-            def loss_and_grad_step(params, opt, x, idx, lr):
-                loss, grads = jax.value_and_grad(loss_from_x)(params, x, idx)
+            def loss_and_grad_step(params, opt, x, idx, lr, consts):
+                loss, grads = jax.value_and_grad(loss_from_x)(params, x, idx, consts[0])
                 params, opt = adam_update(params, grads, opt, lr)
                 return params, opt, loss
 
@@ -453,7 +485,8 @@ def train_model_set_chunks_func(
                 from .step import split_spans
 
                 span_run = make_chunked_span_runner(
-                    loss_and_grad_step, dstore, n_items, batch_size, draws=2
+                    loss_and_grad_step, dstore, n_items, batch_size, draws=2,
+                    consts=(dist_dev,),
                 )
                 lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
                 best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
@@ -481,7 +514,7 @@ def train_model_set_chunks_func(
 
                     for gidx, x in _prefetch(batches()):
                         x_dev = jax.device_put(x, x_sharding) if x.shape[0] % mesh.shape[DATA_AXIS] == 0 else x
-                        params, opt, loss = step(params, opt, x_dev, gidx, jnp.float32(lr))
+                        params, opt, loss = step(params, opt, x_dev, gidx, jnp.float32(lr), dist_dev)
                         losses.append(loss)
 
                     loss_vals = np.asarray(jax.device_get(jnp.stack(losses)), dtype=np.float64)
@@ -585,16 +618,16 @@ def train_classifier_chunks_func(
         opt = adam_init(params)
         log.info(f"Total parameters: {count_params(params)}")
 
-        def loss_from_x(p, x, idx):
+        def loss_from_x(p, x, idx, labels_v):
             lp = classifier_apply(p, x)
-            y = labels_dev[idx]
+            y = labels_v[idx]
             loss = nll_loss(lp, y)
             correct = jnp.sum(jnp.argmax(lp, axis=1) == y)
             return loss, correct
 
         @jax.jit
-        def step(params, opt, x, idx, lr):
-            (loss, correct), grads = jax.value_and_grad(loss_from_x, has_aux=True)(params, x, idx)
+        def step(params, opt, x, idx, lr, labels_v):
+            (loss, correct), grads = jax.value_and_grad(loss_from_x, has_aux=True)(params, x, idx, labels_v)
             params, opt = adam_update(params, grads, opt, lr)
             return params, opt, loss, correct
 
@@ -605,8 +638,8 @@ def train_classifier_chunks_func(
             else "Chunk store: host streaming (prefix array exceeds device budget)"
         )
 
-        def loss_and_grad_step(params, opt, x, idx, lr):
-            (loss, correct), grads = jax.value_and_grad(loss_from_x, has_aux=True)(params, x, idx)
+        def loss_and_grad_step(params, opt, x, idx, lr, consts):
+            (loss, correct), grads = jax.value_and_grad(loss_from_x, has_aux=True)(params, x, idx, consts[0])
             params, opt = adam_update(params, grads, opt, lr)
             return params, opt, (loss, correct)
 
@@ -634,7 +667,8 @@ def train_classifier_chunks_func(
             from .step import split_spans
 
             span_run = make_chunked_span_runner(
-                loss_and_grad_step, dstore, n_items, batch_size, draws=1
+                loss_and_grad_step, dstore, n_items, batch_size, draws=1,
+                consts=(labels_dev,),
             )
             lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
             best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
@@ -663,7 +697,7 @@ def train_classifier_chunks_func(
                         yield gidx.astype(np.int32), store.sample_batch(rng, gidx, draws=1)
 
                 for gidx, x in _prefetch(batches()):
-                    params, opt, loss, corr = step(params, opt, x, gidx, jnp.float32(lr))
+                    params, opt, loss, corr = step(params, opt, x, gidx, jnp.float32(lr), labels_dev)
                     losses.append(loss)
                     corrects.append(corr)
 

@@ -88,10 +88,10 @@ class Tree:
                     reverse=True,
                 )
                 down[id(n)] = tops[0]
+                # only leaf-to-leaf paths count: a unary node contributes no
+                # pair (a 1-leaf tree has diameter 0)
                 if len(tops) > 1:
                     best = max(best, tops[0] + tops[1])
-                else:
-                    best = max(best, tops[0])
         return best
 
     def extract_tree_with(self, labels: set[str]) -> "Tree":
