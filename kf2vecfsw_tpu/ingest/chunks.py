@@ -142,27 +142,48 @@ def get_chunks(
     stamp("\n==> Start processing samples.")
 
     written: list[str] = []
+    threads = threads or min(8, os.cpu_count() or 1)
+
+    def process(fname: str):
+        sample = sample_name(fname)
+        records = read_sequences_raw(os.path.join(input_dir, fname))
+        return fname, sample, chunk_rows_for_genome(sample, records, k, window, pseudocount)
+
     try:
-        for fname in files:
-            log.info(f"\n==> Start processing. Sample: {fname}")
-            sample = sample_name(fname)
-            records = read_sequences_raw(os.path.join(input_dir, fname))
-            rows = chunk_rows_for_genome(sample, records, k, window, pseudocount)
-            if len(rows) == 0:
-                stamp(f"\n==> Excluded {fname}. No contigs above threshold length.")
-                continue
-            if len(rows) < min_chunks:
-                stamp(
-                    f"\n==> Excluded {fname}. {len(rows)} chunks is too low. "
-                    f"{min_chunks} is required."
-                )
-                continue
-            out_path = os.path.join(output_dir, f"{sample}.kf")
-            with open(out_path, "w") as f:
-                for name, vec in rows:
-                    append_kf(f, name, vec)
-            written.append(out_path)
-            stamp(f"\n==> Done chunk processing for {fname}.")
+        # genomes process in a bounded thread window (-p): the native
+        # counting/formatting calls release the GIL, so multi-core hosts
+        # overlap genomes; results are consumed in submission order
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            pending = deque()
+            it = iter(files)
+            for fname in it:
+                pending.append(pool.submit(process, fname))
+                if len(pending) >= threads + 2:
+                    break
+            while pending:
+                fname, sample, rows = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(process, nxt))
+                log.info(f"\n==> Start processing. Sample: {fname}")
+                if len(rows) == 0:
+                    stamp(f"\n==> Excluded {fname}. No contigs above threshold length.")
+                    continue
+                if len(rows) < min_chunks:
+                    stamp(
+                        f"\n==> Excluded {fname}. {len(rows)} chunks is too low. "
+                        f"{min_chunks} is required."
+                    )
+                    continue
+                out_path = os.path.join(output_dir, f"{sample}.kf")
+                with open(out_path, "w") as f:
+                    for name, vec in rows:
+                        append_kf(f, name, vec)
+                written.append(out_path)
+                stamp(f"\n==> Done chunk processing for {fname}.")
         stamp("\n==> Done getting chunks.")
     finally:
         log.removeHandler(handler)

@@ -100,26 +100,31 @@ class Tree:
         used at main.py:497."""
         keep = set(labels)
 
-        def build(node: Node) -> Node | None:
+        # iterative postorder build (recursion would overflow on deep
+        # ladder-like phylogenies well below the 12000-taxon scale)
+        built: dict[int, Node | None] = {}
+        for node in self.traverse_postorder():
             if node.is_leaf():
-                if node.label in keep:
-                    return Node(node.label, node.edge_length)
-                return None
-            kids = [b for b in (build(c) for c in node.children) if b is not None]
+                built[id(node)] = (
+                    Node(node.label, node.edge_length) if node.label in keep else None
+                )
+                continue
+            kids = [b for b in (built[id(c)] for c in node.children) if b is not None]
             if not kids:
-                return None
-            if len(kids) == 1:
+                built[id(node)] = None
+            elif len(kids) == 1:
                 child = kids[0]
                 # suppress unifurcation: fold this node's edge into the child
                 if node.edge_length is not None or child.edge_length is not None:
                     child.edge_length = (node.edge_length or 0.0) + (child.edge_length or 0.0)
-                return child
-            new = Node(node.label, node.edge_length, kids)
-            for c2 in kids:
-                c2.parent = new
-            return new
+                built[id(node)] = child
+            else:
+                new = Node(node.label, node.edge_length, kids)
+                for c2 in kids:
+                    c2.parent = new
+                built[id(node)] = new
 
-        root = build(self.root)
+        root = built[id(self.root)]
         if root is None:
             root = Node()
         # root edge length is conventionally dropped after extraction
@@ -127,22 +132,25 @@ class Tree:
 
     # -- serialization --------------------------------------------------------
     def write_newick(self) -> str:
+        # explicit-stack emission: deep trees must not hit the recursion limit
         parts: list[str] = []
-
-        def emit(node: Node) -> None:
+        stack: list[tuple[Node, int]] = [(self.root, 0)]
+        while stack:
+            node, i = stack.pop()
             if node.children:
-                parts.append("(")
-                for i, c in enumerate(node.children):
+                if i == 0:
+                    parts.append("(")
+                if i < len(node.children):
                     if i:
                         parts.append(",")
-                    emit(c)
+                    stack.append((node, i + 1))
+                    stack.append((node.children[i], 0))
+                    continue
                 parts.append(")")
             if node.label is not None:
                 parts.append(node.label)
             if node.edge_length is not None:
                 parts.append(":" + _fmt_len(node.edge_length))
-
-        emit(self.root)
         parts.append(";")
         return "".join(parts)
 
@@ -200,31 +208,44 @@ def parse_newick(text: str) -> Tree:
             return float(s[start:pos].strip())
         return None
 
-    def parse_node() -> Node:
-        nonlocal pos
+    # iterative shift-reduce parse: recursion would overflow on deep
+    # (pectinate) trees far below the 12000-taxon scale this supports
+    root = Node()
+    cur = root
+    stack: list[Node] = []
+    while True:
         skip_ws()
-        node = Node()
-        if pos < n and s[pos] == "(":
+        if pos >= n:
+            break
+        ch = s[pos]
+        if ch == "(":
             pos += 1
-            while True:
-                child = parse_node()
-                child.parent = node
-                node.children.append(child)
-                skip_ws()
-                if pos < n and s[pos] == ",":
-                    pos += 1
-                    continue
-                break
-            skip_ws()
-            if pos < n and s[pos] == ")":
-                pos += 1
-            else:
+            stack.append(cur)
+            child = Node()
+            child.parent = cur
+            cur.children.append(child)
+            cur = child
+        elif ch == ",":
+            pos += 1
+            if not stack:
+                raise ValueError(f"unexpected ',' outside parentheses at {pos}")
+            parent = stack[-1]
+            sib = Node()
+            sib.parent = parent
+            parent.children.append(sib)
+            cur = sib
+        elif ch == ")":
+            pos += 1
+            if not stack:
                 raise ValueError(f"unbalanced parentheses in newick at {pos}")
-        node.label = parse_label()
-        node.edge_length = parse_length()
-        return node
-
-    root = parse_node()
+            cur = stack.pop()
+            cur.label = parse_label()
+            cur.edge_length = parse_length()
+        else:
+            cur.label = parse_label()
+            cur.edge_length = parse_length()
+    if stack:
+        raise ValueError("unbalanced parentheses in newick (unclosed '(')")
     return Tree(root)
 
 

@@ -96,3 +96,23 @@ def test_di_mtrx_roundtrip(tmp_path):
     rl, cl, v = read_di_mtrx(p)
     assert rl == labels and cl == labels
     assert np.array_equal(v, d)
+
+
+def test_deep_pectinate_tree_no_recursion_limit():
+    """Ladder trees deeper than Python's recursion limit must parse, write,
+    extract and scale (iterative tree ops; a 12000-taxon phylogeny can be
+    arbitrarily unbalanced)."""
+    from kf2vecfsw_tpu.tree.newick import parse_newick
+
+    depth = 4000
+    nwk = ""
+    for i in range(depth):
+        nwk = f"(L{i}:1.0" + ("," + nwk + ":1.0)" if nwk else f",L{depth}:1.0)")
+    nwk += ";"
+    t = parse_newick(nwk)
+    labels = t.leaf_labels()
+    assert len(labels) == depth + 1
+    roundtrip = parse_newick(t.write_newick())
+    assert sorted(roundtrip.leaf_labels()) == sorted(labels)
+    sub = t.extract_tree_with(set(labels[:100]))
+    assert len(sub.leaf_labels()) == 100
