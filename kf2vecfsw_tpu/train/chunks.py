@@ -230,7 +230,9 @@ def sample_chunk_batch(prefix, counts, scaler, key, genome_indices, draws: int):
     return jax.vmap(lambda k, g: _sample_chunk_span(prefix, counts, scaler, k, g))(keys, gis)
 
 
-def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_size: int, draws: int, consts=()):
+def make_chunked_span_runner(
+    loss_and_grad_step, dstore, n_items: int, batch_size: int, draws: int, consts=(), mesh=None
+):
     """Multi-epoch chunked training as ONE device program: scan over epochs,
     each epoch drawing its permutation and chunk spans on device (the LR
     step schedule too), with best-loss params tracked in the carry. Returns
@@ -243,8 +245,29 @@ def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_siz
     label vector needed by loss_and_grad_step(params, opt, x, idx, lr,
     consts)) are passed as jit ARGUMENTS: closure-captured device arrays
     become jaxpr constants, and a multi-GB constant overflows (remote)
-    compilation requests."""
+    compilation requests.
+
+    With a multi-device `mesh`, the sampled batch carries a 'data'-axis
+    sharding constraint so GSPMD partitions the forward/backward data-
+    parallel and inserts the gradient all-reduce (the DataParallel
+    equivalent the host-streaming path gets from its explicit device_put
+    sharding)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
     from .step import device_step_lr, fold_best
+
+    x_sharding = None
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        rows = batch_size * draws
+        if rows % mesh.shape[DATA_AXIS] == 0:
+            x_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def _shard_x(x):
+        if x_sharding is not None and x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            return jax.lax.with_sharding_constraint(x, x_sharding)
+        return x
 
     n_full = n_items // batch_size
     tail = n_items - n_full * batch_size
@@ -260,9 +283,9 @@ def make_chunked_span_runner(loss_and_grad_step, dstore, n_items: int, batch_siz
             def body(carry, bi):
                 params, opt = carry
                 gidx = jax.lax.dynamic_slice_in_dim(perm, bi * batch_size, batch_size)
-                x = sample_chunk_batch(
+                x = _shard_x(sample_chunk_batch(
                     prefix, counts, dstore.scaler, jax.random.fold_in(key_e, 1 + bi), gidx, draws
-                )
+                ))
                 params, opt, aux = loss_and_grad_step(params, opt, x, gidx, lr, consts_v)
                 return (params, opt), aux
 
@@ -486,7 +509,7 @@ def train_model_set_chunks_func(
 
                 span_run = make_chunked_span_runner(
                     loss_and_grad_step, dstore, n_items, batch_size, draws=2,
-                    consts=(dist_dev,),
+                    consts=(dist_dev,), mesh=mesh,
                 )
                 lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
                 best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
@@ -668,7 +691,7 @@ def train_classifier_chunks_func(
 
             span_run = make_chunked_span_runner(
                 loss_and_grad_step, dstore, n_items, batch_size, draws=1,
-                consts=(labels_dev,),
+                consts=(labels_dev,), mesh=mesh,
             )
             lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
             best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))

@@ -182,3 +182,55 @@ def test_chunk_store_uniform_sampler():
         x = store.sample_one_uniform(rng, 0)
         assert x.shape == (V,)
         assert np.isclose(x.sum(), 1e4, rtol=1e-4)
+
+
+def test_chunked_span_runner_multi_device_mesh(tmp_path):
+    """The device-store span runner shards the sampled batch over the mesh
+    'data' axis (DataParallel equivalent); result must stay finite and close
+    to the single-device run."""
+    import jax
+    import jax.numpy as jnp
+
+    from kf2vecfsw_tpu.models.mlp import dist_embed_apply, init_dist_embed
+    from kf2vecfsw_tpu.ops.losses import chunks_weighted_sqrt_mse
+    from kf2vecfsw_tpu.ops.pairwise import pairwise_l2_exact
+    from kf2vecfsw_tpu.parallel.mesh import make_mesh
+    from kf2vecfsw_tpu.train.chunks import DeviceChunkStore, make_chunked_span_runner
+    from kf2vecfsw_tpu.train.step import adam_init, adam_update, lr_schedule_args
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    rng = np.random.default_rng(0)
+    G, C, Vd, B = 8, 10, 32, 4
+    mats = [rng.integers(0, 50, size=(C, Vd)).astype(np.uint16) for _ in range(G)]
+    dist = np.abs(rng.normal(size=(G, G))).astype(np.float32)
+    dist = dist + dist.T
+    np.fill_diagonal(dist, 0)
+    dist_dev = jax.device_put(dist)
+    dstore = DeviceChunkStore(mats)
+
+    def loss_from_x(p, x, idx, dmat):
+        emb = dist_embed_apply(p, x)
+        md = pairwise_l2_exact(emb)
+        ridx = jnp.repeat(idx, 2)
+        return chunks_weighted_sqrt_mse(md, dmat[jnp.ix_(ridx, ridx)])
+
+    def lgs(params, opt, x, idx, lr, consts):
+        loss, grads = jax.value_and_grad(loss_from_x)(params, x, idx, consts[0])
+        params, opt = adam_update(params, grads, opt, lr)
+        return params, opt, loss
+
+    lr_args = lr_schedule_args(1e-3, 3e-6, 2000.0)
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+    for name, mesh in [("1dev", make_mesh(1, 1)), ("8dev", make_mesh(8, 1))]:
+        params = init_dist_embed(jax.random.PRNGKey(1), Vd, 16, 8)
+        opt = adam_init(params)
+        run = make_chunked_span_runner(lgs, dstore, G, B, draws=2, consts=(dist_dev,), mesh=mesh)
+        best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
+        params, opt, best, lm = run(params, opt, best, key, 0, 4, lr_args)
+        results[name] = np.asarray(lm)
+        assert np.isfinite(results[name]).all()
+    # same RNG stream, same math up to f32 reduce ordering
+    assert np.allclose(results["1dev"], results["8dev"], rtol=1e-4, atol=1e-6)
