@@ -1,8 +1,9 @@
 """Query classification (reference: classify.py:57-129).
 
 Loads the classifier checkpoint, streams query `.kf` files in blocks, runs a
-jitted forward pass per block (padded to a fixed block shape so XLA compiles
-once), and appends rows to classes.out.
+jitted forward pass per block (rows padded to a geometric bucket so XLA
+compiles a bounded set of programs under variable block shapes), and appends
+rows to classes.out.
 """
 
 from __future__ import annotations
