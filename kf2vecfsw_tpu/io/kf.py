@@ -91,7 +91,24 @@ def read_kf(path: str, dtype=np.float64) -> tuple[list[str], np.ndarray]:
 
 
 def read_kf_files(paths: list[str], dtype=np.float64) -> tuple[list[str], np.ndarray]:
-    """Concatenate several .kf files (order preserved)."""
+    """Concatenate several .kf files (order preserved). All files are read
+    and parsed as ONE native table when possible — per-file parse overhead
+    dominates serving blocks of thousands of single-row query files."""
+    native = native_lib.try_load()
+    if native is not None and paths:
+        parts = []
+        for p in paths:
+            with open(p, "rb") as fb:
+                data = fb.read()
+            if data and not data.endswith(b"\n"):
+                data += b"\n"
+            parts.append(data)
+        res = native.parse_table(b"".join(parts))
+        if res is not None:
+            names, mat = res
+            if not names:
+                return names, np.zeros((0, 0), dtype=dtype)
+            return names, mat.astype(dtype, copy=False)
     all_names: list[str] = []
     mats: list[np.ndarray] = []
     for p in paths:

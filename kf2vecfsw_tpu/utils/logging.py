@@ -17,6 +17,7 @@ def make_run_logger(out_dir: str, filename: str) -> logging.Logger:
     log.setLevel(logging.INFO)
     log.propagate = False
     fmt = logging.Formatter("%(message)s")
+    os.makedirs(out_dir, exist_ok=True)
     fh = logging.FileHandler(os.path.join(out_dir, filename), "w+")
     fh.setFormatter(fmt)
     log.addHandler(fh)
