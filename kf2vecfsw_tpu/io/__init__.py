@@ -1,7 +1,6 @@
 from .fasta import (
     read_sequences,
     encode_bases,
-    squeeze_n_runs,
     remove_gaps,
     list_sequence_files,
     sample_name,

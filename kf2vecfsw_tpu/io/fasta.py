@@ -95,7 +95,8 @@ def _parse_fastq(data: bytes) -> list[tuple[str, bytes]]:
         if not header.startswith(b"@"):
             i += 1
             continue
-        name = header[1:].split()[0].decode() if len(header) > 1 else ""
+        tokens = header[1:].split()
+        name = tokens[0].decode() if tokens else ""
         seq = lines[i + 1].rstrip(b"\r")
         records.append((name, seq))
         i += 4  # header, seq, '+', quals
@@ -119,22 +120,6 @@ def read_sequences(path: str) -> list[SeqRecord]:
     if native is not None:
         return [SeqRecord(name, native.encode(seq)) for name, seq in raw]
     return [SeqRecord(name, encode_bases(seq)) for name, seq in raw]
-
-
-def squeeze_n_runs(codes: np.ndarray) -> np.ndarray:
-    """Collapse runs of invalid bases into a single invalid base.
-
-    Equivalent to the reference's awk ``gsub(/[N|n]+/,"N")`` pre-pass
-    (main.py:740-742) applied to encoded sequences: any run of non-ACGT
-    characters becomes one INVALID placeholder.
-    """
-    if codes.size == 0:
-        return codes
-    inv = codes == INVALID
-    # keep position i unless it is invalid and position i-1 was invalid too
-    drop = np.zeros(codes.shape, dtype=bool)
-    drop[1:] = inv[1:] & inv[:-1]
-    return codes[~drop]
 
 
 def remove_gaps(seq: bytes) -> bytes:

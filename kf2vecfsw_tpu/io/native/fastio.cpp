@@ -164,6 +164,15 @@ void fold_canonical(const uint32_t* hist2, int k, int64_t* out) {
 // (tests/test_native.py).
 template <typename T>
 static char* py_repr(T v, char* p) {
+  if (std::isnan(v)) {  // repr(float('nan')) == 'nan' (sign dropped)
+    memcpy(p, "nan", 3);
+    return p + 3;
+  }
+  if (std::isinf(v)) {
+    if (v < 0) *p++ = '-';
+    memcpy(p, "inf", 3);
+    return p + 3;
+  }
   if (v == (T)0.0) {
     if (std::signbit(v)) *p++ = '-';
     *p++ = '0';
@@ -333,7 +342,8 @@ void kf2vec_window_codes(const uint8_t* codes, int64_t n, int k,
 
 // Format an int64 array as the reference's .kf row tail: each value as
 // "<int>.0" joined by commas, terminated by '\n'. Returns the byte length
-// written. out must have room for n * 22 bytes. This is the hot path of
+// written. out must have room for n * 24 bytes (worst: '-' + 19 digits +
+// '.0' + separator). This is the hot path of
 // chunked .kf writing (repr(float) in Python is ~90% of get_chunks time).
 int64_t kf2vec_format_counts(const int64_t* vals, int64_t n, char* out) {
   char* p = out;

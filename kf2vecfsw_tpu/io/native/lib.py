@@ -197,7 +197,8 @@ class NativeIO:
         if self._format_counts is None:
             return None
         vals = np.ascontiguousarray(vals, dtype=np.int64)
-        out = np.empty(max(1, vals.size * 22), dtype=np.uint8)
+        # worst case: "-9223372036854775808.0" + separator = 24 bytes
+        out = np.empty(max(1, vals.size * 24), dtype=np.uint8)
         n = self._format_counts(self._i64(vals), vals.size, self._u8(out))
         return out[:n].tobytes().decode("ascii")
 
@@ -249,7 +250,11 @@ def load() -> NativeIO | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
+        # always invoke make: it is a no-op when the .so is current, rebuilds
+        # when fastio.cpp changed, and builds from scratch when missing (the
+        # binary is never shipped — it is -march=native, so a foreign
+        # prebuilt .so could SIGILL)
+        if not _build() and not os.path.exists(_SO):
             return None
         try:
             _lib = NativeIO(ctypes.CDLL(_SO))

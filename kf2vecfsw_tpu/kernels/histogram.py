@@ -209,6 +209,8 @@ def count_canonical_device_async(codes_u8: np.ndarray, k: int) -> jax.Array:
     interpret = bool(os.environ.get("KF2VEC_PALLAS_INTERPRET"))
     if interpret:
         use_pallas = True
+    if codes_u8.size == 0:
+        return jnp.zeros((4**k,), jnp.int32)
     acc: jax.Array | None = None
     step = MAX_WINDOWS_PER_CALL
     # overlap of exactly k-1 bases: no window lost or double-counted at seams

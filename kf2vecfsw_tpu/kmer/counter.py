@@ -191,14 +191,25 @@ class KmerCounter:
                 results[i] = payload
         return results  # type: ignore[return-value]
 
+    def _require_vocab(self) -> None:
+        if self.vocab is None:
+            raise ValueError(
+                f"feature vectors need the canonical vocabulary, which exists "
+                f"for k <= {MAX_DENSE_K} only (got k={self.k}); use sparse() "
+                f"for larger k"
+            )
+
     def feature_vector_finish(self, token) -> np.ndarray:
+        self._require_vocab()
         return self.count_finish(token)[self.vocab].astype(np.float64)
 
     def feature_vector_finish_batch(self, tokens: list) -> list[np.ndarray]:
+        self._require_vocab()
         return [h[self.vocab].astype(np.float64) for h in self.count_finish_batch(tokens)]
 
     def feature_vector(self, seqs: list[np.ndarray]) -> np.ndarray:
         """Counts in canonical-vocab order (the `.kf` column order), float64."""
+        self._require_vocab()
         hist = self.count(seqs)
         return hist[self.vocab].astype(np.float64)
 

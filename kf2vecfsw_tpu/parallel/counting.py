@@ -73,10 +73,20 @@ def count_canonical_sharded(codes_u8: np.ndarray, k: int, mesh) -> np.ndarray:
             n = codes.shape[0]
             n_pad = -(-n // TILE_T) * TILE_T
             codes = jnp.pad(codes, (0, n_pad - n), constant_values=trash)
-            hist = histogram_pallas(codes.reshape(-1, CODE_COLS), k).reshape(-1)[:nbins]
+            # the Pallas kernel accumulates per-call in f32 (exact only below
+            # 2^24 per bin): histogram bounded sub-segments and accumulate in
+            # int32, mirroring kernels/histogram.py's MAX_WINDOWS_PER_CALL
+            tiles = codes.reshape(-1, CODE_COLS)
+            rows_per_call = max(1, (1 << 23) // TILE_T) * (TILE_T // CODE_COLS)
+            hist_i = jnp.zeros((nbins,), jnp.int32)
+            for lo in range(0, tiles.shape[0], rows_per_call):
+                part = histogram_pallas(tiles[lo : lo + rows_per_call], k)
+                hist_i = hist_i + part.reshape(-1)[:nbins].astype(jnp.int32)
         else:
-            hist = jnp.zeros((nbins + 1,), jnp.int32).at[codes].add(1)[:-1].astype(jnp.float32)
-        return jax.lax.psum(hist, DATA_AXIS)[None]
+            hist_i = jnp.zeros((nbins + 1,), jnp.int32).at[codes].add(1)[:-1]
+        # psum in int32: exact for totals up to 2^31 (f32 would round above
+        # 2^24 — reachable for low-complexity repeats on large genomes)
+        return jax.lax.psum(hist_i, DATA_AXIS)[None]
 
     fn = shard_map(
         per_device,

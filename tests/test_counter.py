@@ -114,6 +114,31 @@ def test_async_batch_finalize_matches_numpy():
     assert np.array_equal(single[0], count_canonical_numpy(genomes[0], k))
 
 
+def test_device_count_empty_input():
+    # forced-device counting on an empty stream must return zeros, not assert
+    assert np.array_equal(count_canonical_device(np.zeros(0, np.uint8), 5), np.zeros(4**5))
+
+
+def test_feature_vector_rejects_k_beyond_vocab():
+    from kf2vecfsw_tpu.kmer.counter import KmerCounter
+
+    c = KmerCounter(14)
+    with pytest.raises(ValueError, match="canonical vocabulary"):
+        c.feature_vector([encode_bases(b"ACGTACGTACGTACGTACGT")])
+
+
+def test_fastq_blank_header_token():
+    import tempfile, os
+    from kf2vecfsw_tpu.io.fasta import read_sequences_raw
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "q.fastq")
+        with open(p, "wb") as f:
+            f.write(b"@ \nACGT\n+\nIIII\n@r2\nTTTT\n+\nIIII\n")
+        recs = read_sequences_raw(p)
+        assert [r[0] for r in recs] == ["", "r2"]
+
+
 def test_pack_unpack_roundtrip():
     from kf2vecfsw_tpu.kernels import histogram as H
 

@@ -115,6 +115,19 @@ def test_native_format_floats_matches_numpy_str(native):
         assert str(v) == g, (str(v), g)
 
 
+def test_native_format_specials(native):
+    # nan/inf must render like Python repr, not parser garbage; extreme
+    # int64 counts must not overflow the wrapper's buffer
+    vals = np.array([np.nan, np.inf, -np.inf, 1.5, -0.0])
+    line = native.format_doubles(vals)
+    if line is None:
+        pytest.skip("format_doubles missing")
+    assert line == "nan,inf,-inf,1.5,-0.0\n"
+    assert native.format_floats(vals.astype(np.float32)) == "nan\tinf\t-inf\t1.5\t-0.0\n"
+    big = native.format_counts(np.full(64, -(10**18), dtype=np.int64))
+    assert big.startswith("-1000000000000000000.0,")
+
+
 def test_native_pack2bit_matches_numpy(native):
     rng = np.random.default_rng(2)
     for n in (8, 64, 4096, 1 << 17):
