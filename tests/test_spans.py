@@ -50,3 +50,51 @@ def test_bucket_ladder_is_small():
     ladder = sorted({bucket_items(n) for n in range(1, 20000)})
     # bounded executable count for any realistic library build
     assert len(ladder) < 40, ladder
+
+
+def test_gated_adam_inactive_is_exact_noop():
+    """active=False must leave params AND optimizer state bit-identical
+    (bucket-padding batches must not perturb Adam's trajectory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kf2vecfsw_tpu.train.step import adam_init, adam_update
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)}
+    opt = adam_init(params)
+    # advance a few real steps so mu/nu/count are nontrivial
+    g = {"w": jnp.ones((8, 4), jnp.float32) * 0.1}
+    for _ in range(3):
+        params, opt = adam_update(params, g, opt, jnp.float32(1e-3))
+
+    p2, o2 = adam_update(params, g, opt, jnp.float32(1e-3), active=jnp.bool_(False))
+    assert np.array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+    assert np.array_equal(np.asarray(o2["mu"]["w"]), np.asarray(opt["mu"]["w"]))
+    assert np.array_equal(np.asarray(o2["nu"]["w"]), np.asarray(opt["nu"]["w"]))
+    assert int(o2["count"]) == int(opt["count"])
+
+    # active=True must match the ungated update exactly
+    p3, o3 = adam_update(params, g, opt, jnp.float32(1e-3), active=jnp.bool_(True))
+    p4, o4 = adam_update(params, g, opt, jnp.float32(1e-3))
+    assert np.array_equal(np.asarray(p3["w"]), np.asarray(p4["w"]))
+    assert int(o3["count"]) == int(o4["count"])
+
+
+def test_device_step_lr_matches_host_schedule():
+    import jax.numpy as jnp
+
+    from kf2vecfsw_tpu import defaults
+    from kf2vecfsw_tpu.train.schedule import step_lr
+    from kf2vecfsw_tpu.train.step import device_step_lr
+
+    lr0, lr_min, decay = 1e-5, 3e-6, 2000.0
+    for epoch in [0, 1, 99, 100, 101, 250, 1999, 2000, 7999]:
+        host = step_lr(epoch, lr0, lr_min, decay)
+        dev = float(
+            device_step_lr(
+                jnp.int32(epoch), jnp.float32(lr0), jnp.float32(lr_min),
+                jnp.float32(decay), jnp.float32(defaults.LEARNING_RATE_BASE),
+                jnp.int32(defaults.LEARNING_RATE_UPDATE_FREQ),
+            )
+        )
+        assert abs(dev - host) <= 1e-6 * max(host, 1e-9), (epoch, host, dev)
