@@ -155,9 +155,10 @@ class Tree:
         return "".join(parts)
 
     def write_tree_newick(self, path: str) -> None:
+        # no trailing newline: byte parity with the reference's checked-in
+        # scaled trees (toy_example train_tree_r100.0.nwk)
         with open(path, "w") as f:
             f.write(self.write_newick())
-            f.write("\n")
 
 
 def parse_newick(text: str) -> Tree:
