@@ -100,6 +100,10 @@ class KmerCounter:
     min_device_bases: int = 200_000
     # above this k the native per-thread histograms stop paying off
     max_native_k: int = 11
+    # above this k the MXU one-hot histogram's O(4^k) per-window redundancy
+    # makes the device path pathological (measured: still wins at k=9,
+    # ~n_h x slower growth beyond) — auto prefers host there
+    max_device_k: int = 11
 
     def __post_init__(self):
         self.vocab = canonical_vocab_codes(self.k) if self.k <= MAX_DENSE_K else None
@@ -125,6 +129,8 @@ class KmerCounter:
             return True
         if n_bases < self.min_device_bases:
             return False
+        if self.k > self.max_device_k:
+            return False  # MXU histogram redundancy explodes beyond k=11
         if self.k <= self.max_native_k and self._native() is not None:
             return False  # native host counter wins at these sizes
         try:
