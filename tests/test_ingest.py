@@ -131,3 +131,30 @@ def test_get_distances_full_mode(toy, tmp_path):
         os.path.join(toy, "train_tree_newick_single_clade", "train_tree_subtree_0.di_mtrx")
     )
     assert np.abs(reindex_matrix(rl, cl, v, rl) - reindex_matrix(gl_r, gl_c, gl_v, rl)).max() == 0.0
+
+
+def test_get_frequencies_fastq_input(tmp_path):
+    """FASTQ inputs count identically to the same sequences as FASTA
+    (main.py:272 accepts .fq/.fastq)."""
+    import numpy as np
+
+    from kf2vecfsw_tpu.io.kf import read_kf
+
+    fa_dir = tmp_path / "fa"
+    fq_dir = tmp_path / "fq"
+    out_a = tmp_path / "oa"
+    out_q = tmp_path / "oq"
+    for d in (fa_dir, fq_dir, out_a, out_q):
+        d.mkdir()
+    seqs = [b"ACGTACGTACGTNNACGTACGT", b"TTTTGGGGCCCCAAAA"]
+    with open(fa_dir / "s.fna", "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">r%d\n%s\n" % (i, s))
+    with open(fq_dir / "s.fastq", "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    get_frequencies(str(fa_dir), str(out_a), k=5)
+    get_frequencies(str(fq_dir), str(out_q), k=5)
+    _, ma = read_kf(str(out_a / "s.kf"))
+    _, mq = read_kf(str(out_q / "s.kf"))
+    assert np.array_equal(ma, mq)
