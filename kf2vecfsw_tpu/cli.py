@@ -115,6 +115,12 @@ def _cmd_query(args):
 def _cmd_build_library(args):
     """get_frequencies -> divide_tree -> get_distances -> train_classifier ->
     train_model_set (main.py:569-622)."""
+    if args.mode == "full_only":
+        raise SystemExit(
+            "build_library needs per-subtree distance matrices to train the "
+            "distance models; -mode full_only produces only the full-tree "
+            "matrix (use 'hybrid' or 'subtrees_only')"
+        )
     from .ingest.frequencies import get_frequencies
     from .ingest.tree_ops import divide_tree, get_distances
     from .train.classifier import train_classifier_func
@@ -170,13 +176,16 @@ def _cmd_process_query_data(args):
     fsw_ks = set()
     from .train.checkpoint import load_checkpoint
 
+    from .train.checkpoint import fsw_k_from_meta
+
     for ckpt in glob.glob(os.path.join(args.distance_model, "model_subtree_*.ckpt")):
         try:
             model_name, meta, _ = load_checkpoint(ckpt)
-        except Exception:
+            if model_name == "NeuralNetFSW":
+                fsw_ks.add(fsw_k_from_meta(meta))
+        except Exception as e:
+            print(f"WARNING: could not inspect {ckpt}: {e}")
             continue
-        if model_name == "NeuralNetFSW":
-            fsw_ks.add(int(meta.get("fsw_k", meta["model_input_size"] - 1)))
     for fk in sorted(fsw_ks):
         print(f"\n==> Computing k-mer point sets for FSW models (k={fk})\n")
         from .ingest.kmers import get_kmers
@@ -372,7 +381,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("process_query_data", description="Wrapper: get_frequencies, classify, query")
     p.add_argument("-input_dir")
     p.add_argument("-output_dir")
-    _add_k(p, 3, 10)
+    _add_k(p)
     _add_p(p)
     p.add_argument("-pseudocount", action="store_true")
     p.add_argument("-classifier_model")
@@ -419,12 +428,22 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None):
-    from .parallel.mesh import initialize_distributed
+# subcommands that touch devices (everything else stays jax-import-free so
+# --help / tree ops don't pay backend init or block on a cluster coordinator)
+_DEVICE_COMMANDS = {
+    "get_frequencies", "get_kmers", "get_chunks", "train_classifier",
+    "train_model_set", "train_classifier_chunks", "train_model_set_chunks",
+    "classify", "query", "build_library", "process_query_data",
+}
 
-    initialize_distributed()
+
+def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    if getattr(args, "command", None) in _DEVICE_COMMANDS:
+        from .parallel.mesh import initialize_distributed
+
+        initialize_distributed()
     if hasattr(args, "func"):
         args.func(args)
     else:

@@ -113,7 +113,9 @@ def query_func(
             emb_dev = jax.numpy.asarray(emb)
 
             if model_name == "NeuralNetFSW":
-                k = int(meta.get("fsw_k", meta["model_input_size"] - 1))
+                from ..train.checkpoint import fsw_k_from_meta
+
+                k = fsw_k_from_meta(meta)
                 forward = jax.jit(lambda p, x: fsw_dist_embed_apply(p, x))
                 loader = _npy_block_loader(features_folder, k)
             else:

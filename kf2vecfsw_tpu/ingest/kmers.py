@@ -33,11 +33,18 @@ def kmer_matrix(counter: KmerCounter, seqs: list[np.ndarray]) -> np.ndarray | No
 
 def get_kmers(input_dir: str, output_dir: str, k: int = 7) -> list[str]:
     os.makedirs(output_dir, exist_ok=True)
-    fasta_files = sorted(glob.glob(os.path.join(input_dir, "*.fna")))
+    # all sequence formats get_frequencies accepts (the reference globbed
+    # only *.fna, so .fasta/.fq query dirs silently produced nothing); stems
+    # match the .kf sample_name convention so classes.out names line up
+    from ..io.fasta import list_sequence_files, sample_name
+
+    fasta_files = sorted(
+        os.path.join(input_dir, f) for f in list_sequence_files(input_dir)
+    )
     counter = KmerCounter(k)
     written: list[str] = []
     for fna_path in fasta_files:
-        base_name = os.path.basename(fna_path).replace(".fna", "")
+        base_name = sample_name(os.path.basename(fna_path))
         print(f"--- Processing {base_name} ---")
         recs = read_sequences(fna_path)
         matrix = kmer_matrix(counter, [r.codes for r in recs])

@@ -71,6 +71,10 @@ def read_subtrees(path: str) -> list[tuple[str, int]]:
 
 def get_distances(tree_path: str, subtrees: str | None, mode: str = "subtrees_only") -> list[str]:
     """Write per-subtree (and/or full) .di_mtrx files (main.py:440-502)."""
+    if mode not in ("hybrid", "full_only", "subtrees_only"):
+        raise SystemExit(
+            f"unknown -mode '{mode}' (choose hybrid, full_only or subtrees_only)"
+        )
     tree = _load_tree(tree_path)
     head = os.path.split(tree_path)[0]
     tree_name = os.path.splitext(os.path.basename(tree_path))[0]

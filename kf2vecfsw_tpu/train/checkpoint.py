@@ -51,20 +51,39 @@ def save_checkpoint(path: str, model_name: str, meta: dict, params) -> None:
     params = jax.device_get(params)
     flat = _flatten(params)
     full_meta = {"model_name": model_name, **meta}
-    with open(path, "wb") as f:
+    # atomic: a crash mid-save must not leave a truncated .ckpt at the final
+    # path (the exact scenario autosave/resume exists for)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         np.savez(f, __meta__=json.dumps(full_meta), **flat)
+    os.replace(tmp, path)
+
+
+def fsw_k_from_meta(meta: dict) -> int:
+    """The k an FSW checkpoint was trained at (shared by query + wrappers)."""
+    return int(meta.get("fsw_k", meta["model_input_size"] - 1))
 
 
 def load_checkpoint(path: str):
     """Returns (model_name, meta dict, params pytree). Transparently converts
     reference torch checkpoints when encountered."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
     try:
         with open(path, "rb") as f:
             data = np.load(f, allow_pickle=False)
             flat = {k: data[k] for k in data.files if k != "__meta__"}
             meta = json.loads(str(data["__meta__"]))
     except Exception:
-        return _load_torch_checkpoint(path)
+        # not our npz format: try the reference torch-checkpoint shim; chain
+        # the original cause so a truncated/corrupt file is diagnosable
+        try:
+            return _load_torch_checkpoint(path)
+        except Exception as torch_err:
+            raise ValueError(
+                f"{path} is neither a kf2vec-tpu checkpoint nor a readable "
+                f"reference torch checkpoint ({torch_err})"
+            ) from torch_err
     model_name = meta.pop("model_name")
     return model_name, meta, _unflatten(flat)
 

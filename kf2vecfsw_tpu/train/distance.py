@@ -319,7 +319,17 @@ def _train_all(
 
             state = load_trainer_state(state_path)
             if state is not None:
-                last_epoch, params, opt, best_params, lowest, best_epoch = state
+                last_epoch, saved_params, saved_opt, saved_best, lowest, best_epoch = state
+                want = jax.tree.map(lambda a: a.shape, jax.device_get(params))
+                got = jax.tree.map(lambda a: np.asarray(a).shape, saved_params)
+                if want != got:
+                    raise SystemExit(
+                        f"cannot -resume: autosaved state in {state_path} has "
+                        f"parameter shapes {got} but the current flags build "
+                        f"{want} — rerun with the original -hidden_sz/-embed_sz/"
+                        f"model-family flags, or delete the state file"
+                    )
+                params, opt, best_params = saved_params, saved_opt, saved_best
                 params = jax.tree.map(jnp_asarray_f32, params)
                 opt = jax.tree.map(jnp_asarray_f32, opt)
                 best_params = jax.tree.map(jnp_asarray_f32, best_params)

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import contextlib
 import os
-import time
 
 
 @contextlib.contextmanager
@@ -24,25 +23,3 @@ def maybe_trace(tag: str):
     os.makedirs(target, exist_ok=True)
     with jax.profiler.trace(target):
         yield
-
-
-class StepTimer:
-    """Lightweight running step-time stats for throughput logs."""
-
-    def __init__(self):
-        self.total = 0.0
-        self.count = 0
-        self._t0 = None
-
-    def __enter__(self):
-        self._t0 = time.perf_counter()
-        return self
-
-    def __exit__(self, *exc):
-        self.total += time.perf_counter() - self._t0
-        self.count += 1
-        return False
-
-    @property
-    def mean(self) -> float:
-        return self.total / max(self.count, 1)

@@ -70,3 +70,45 @@ def test_resume_continues_training(tmp_path):
     assert "Resuming from epoch 10" in text
     assert "Epoch [14/14]" in text
     assert "Epoch [1/14]" not in text
+
+
+def test_resume_rejects_mismatched_architecture(tmp_path):
+    """Resuming with different model-size flags must fail fast, not silently
+    train mismatched params under lying checkpoint metadata."""
+    import glob
+
+    import numpy as np
+    import pytest
+
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.train.distance import train_model_set_func
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    rng = np.random.default_rng(0)
+    v, n = 32, 4
+    names = [f"g{i}" for i in range(n)]
+    kf_dir = tmp_path / "kf"
+    out_dir = tmp_path / "models"
+    kf_dir.mkdir()
+    out_dir.mkdir()
+    for name in names:
+        vec = rng.random(v)
+        write_kf(str(kf_dir / f"{name}.kf"), [(name, vec / vec.sum())])
+    with open(tmp_path / "t.subtrees", "w") as f:
+        f.write("genome clade\n" + "".join(f"{x} 0\n" for x in names))
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+    write_di_mtrx(str(tmp_path / "t_subtree_0.di_mtrx"), names, d)
+    files = sorted(glob.glob(str(kf_dir / "*.kf")))
+
+    common = dict(
+        features_folder=str(kf_dir), feature_files=files,
+        clades_info=str(tmp_path / "t.subtrees"), true_dist_dir=str(tmp_path),
+        num_epochs=4, embedding_size=8, batch_size=4, lr0=1e-3, lr_min=3e-6,
+        lr_decay=2000, clades_to_train=None, seed=28,
+        model_filepath=str(out_dir), use_fsw=False, autosave_every=2,
+    )
+    train_model_set_func(hidden_size=16, **common)
+    with pytest.raises(SystemExit, match="cannot -resume"):
+        train_model_set_func(hidden_size=24, resume=True, **common)
