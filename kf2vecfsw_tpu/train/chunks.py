@@ -178,6 +178,14 @@ class DeviceChunkStore:
         for i, m in enumerate(matrices):
             ci = m.shape[0]
             p = np.cumsum(m.astype(np.int64), axis=0)
+            # the store is int32 and the span normalizer sums the int32 span
+            # vector exactly — both require the per-genome TOTAL count to fit
+            # int32 (fits() routes larger genomes to the host ChunkStore)
+            if int(p[-1].sum()) >= 2**31:
+                raise OverflowError(
+                    f"genome {i}: total chunk count {int(p[-1].sum())} overflows the "
+                    "int32 device prefix store; use the host ChunkStore path"
+                )
             prefix[i, 1 : ci + 1] = p
             prefix[i, ci + 1 :] = p[-1]
         self.prefix = jax.device_put(prefix)
@@ -192,7 +200,11 @@ class DeviceChunkStore:
     @staticmethod
     def fits(matrices: list[np.ndarray]) -> bool:
         budget = int(os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET", 4 << 30))
-        return DeviceChunkStore.nbytes(matrices) <= budget
+        if DeviceChunkStore.nbytes(matrices) > budget:
+            return False
+        # int32 store + exact-int32 span normalization: per-genome totals
+        # must stay below 2^31 (a >2G-k-mer genome streams from the host)
+        return all(int(m.sum(dtype=np.int64)) < 2**31 for m in matrices)
 
     def _sample_one(self, key, gi):
         return _sample_chunk_span(self.prefix, self.counts_dev, self.scaler, key, gi)
@@ -217,8 +229,11 @@ def _sample_chunk_span(prefix, counts, scaler, key, gi):
     nrows = jnp.where(nrows > c, alt, nrows)
     ix = jax.random.randint(k3, (), 0, c - nrows + 1)
     row = prefix[gi]
-    vec = (row[ix + nrows] - row[ix]).astype(jnp.float32)
-    total = jnp.sum(vec)
+    ivec = row[ix + nrows] - row[ix]
+    # exact int32 sum (store construction guarantees totals < 2^31), matching
+    # the host sampler's int64/f64 normalization to f32 rounding
+    total = jnp.sum(ivec).astype(jnp.float32)
+    vec = ivec.astype(jnp.float32)
     return jnp.where(total > 0, vec / total, 0.0) * scaler
 
 

@@ -242,9 +242,16 @@ def parse_newick(text: str) -> Tree:
             cur = stack.pop()
             cur.label = parse_label()
             cur.edge_length = parse_length()
+        elif ch == ";":
+            # first tree ends here; ignore any trailing content (second trees,
+            # stray text) like the recursive parsers in treeswift do
+            break
         else:
+            before = pos
             cur.label = parse_label()
             cur.edge_length = parse_length()
+            if pos == before:
+                raise ValueError(f"unparseable newick content at position {pos}")
     if stack:
         raise ValueError("unbalanced parentheses in newick (unclosed '(')")
     return Tree(root)

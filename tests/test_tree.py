@@ -116,3 +116,12 @@ def test_deep_pectinate_tree_no_recursion_limit():
     assert sorted(roundtrip.leaf_labels()) == sorted(labels)
     sub = t.extract_tree_with(set(labels[:100]))
     assert len(sub.leaf_labels()) == 100
+
+
+def test_trailing_content_after_first_tree_ignored():
+    # a multi-tree file (or stray ';') must parse the FIRST tree and ignore
+    # the rest, like treeswift's parsers — the iterative loop previously hung
+    t = parse_newick("(A:1,B:2);(C:3,D:4);")
+    assert sorted(t.leaf_labels()) == ["A", "B"]
+    t2 = parse_newick("(A,B); trailing garbage")
+    assert sorted(t2.leaf_labels()) == ["A", "B"]
