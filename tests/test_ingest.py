@@ -158,3 +158,44 @@ def test_get_frequencies_fastq_input(tmp_path):
     _, ma = read_kf(str(out_a / "s.kf"))
     _, mq = read_kf(str(out_q / "s.kf"))
     assert np.array_equal(ma, mq)
+
+
+def test_kf_byte_parity_train_goldens(toy, tmp_path):
+    """Normalized .kf output is BYTE-identical to the reference's checked-in
+    train_tree_kf goldens (main.py:344-357 float-repr formatting) — the
+    driver's north-star parity metric, pinned as a regression lock."""
+    out = str(tmp_path)
+    written = get_frequencies(os.path.join(toy, "train_tree_fna"), out, k=7)
+    checked = 0
+    for w in written:
+        golden = os.path.join(toy, "train_tree_kf", os.path.basename(w))
+        if os.path.exists(golden):
+            assert open(w, "rb").read() == open(golden, "rb").read(), w
+            checked += 1
+    assert checked >= 4
+
+
+def test_kf_byte_parity_test_goldens(toy, tmp_path):
+    """Query-side .kf parity vs toy_example/test_kf, across backends: the
+    default (native) counter and the forced-numpy fallback must both emit
+    byte-identical files."""
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    out_a.mkdir(), out_b.mkdir()
+    written = get_frequencies(os.path.join(toy, "test_fna"), str(out_a), k=7)
+    checked = 0
+    for w in written:
+        golden = os.path.join(toy, "test_kf", os.path.basename(w))
+        if os.path.exists(golden):
+            assert open(w, "rb").read() == open(golden, "rb").read(), w
+            checked += 1
+    assert checked >= 3
+    os.environ["KF2VEC_FORCE_NUMPY"] = "1"
+    try:
+        written_np = get_frequencies(os.path.join(toy, "test_fna"), str(out_b), k=7)
+    finally:
+        del os.environ["KF2VEC_FORCE_NUMPY"]
+    for w in written_np:
+        golden = os.path.join(toy, "test_kf", os.path.basename(w))
+        if os.path.exists(golden):
+            assert open(w, "rb").read() == open(golden, "rb").read(), w
