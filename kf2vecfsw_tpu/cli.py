@@ -75,6 +75,7 @@ def _cmd_train_classifier(args):
     train_classifier_func(
         args.input_dir, files, args.subtrees, args.e, args.hidden_sz, args.batch_sz,
         args.lr, args.lr_min, args.lr_decay, args.seed, args.mask, args.o,
+        resume=args.resume,
     )
 
 
@@ -216,6 +217,7 @@ def _cmd_train_model_set_chunks(args):
         args.input_dir, args.input_dir_fullgenomes, files, args.subtrees,
         args.true_dist, args.e, args.hidden_sz, args.embed_sz, args.batch_sz,
         args.lr, args.lr_min, args.lr_decay, args.clade, args.seed, args.cap, args.o,
+        resume=args.resume,
     )
 
 
@@ -227,6 +229,7 @@ def _cmd_train_classifier_chunks(args):
         args.input_dir, args.input_dir_fullgenomes, files, args.subtrees, args.e,
         args.hidden_sz, args.batch_sz, args.lr, args.lr_min, args.lr_decay,
         args.seed, args.mask, args.cap, args.o,
+        resume=args.resume,
     )
 
 
@@ -249,6 +252,11 @@ def _add_p(p):
         "-p", type=int, default=cpus,
         help=f"Max number of processors to use [1-{cpus}]. Default: {cpus}", metavar="P",
     )
+
+
+def _add_resume(p):
+    p.add_argument("-resume", action="store_true",
+                   help="Resume from the last autosaved trainer state")
 
 
 def _add_train_common(p, epochs_default):
@@ -317,6 +325,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_train_common(p, D.DEFAULT_CL_EPOCHS)
     p.add_argument("-mask", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("-o", help="Model output path")
+    _add_resume(p)
     p.set_defaults(func=_cmd_train_classifier)
 
     p = sub.add_parser("classify", description="Classifies query inputs using previously trained classifier model")
@@ -343,8 +352,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-no_fsw", action="store_true", help="Keep original model")
     p.add_argument("-fswout_dim", type=int, default=D.FSW_OUT_DIM)
     p.add_argument("-base_dim", type=int, default=D.FSW_BASE_DIM)
-    p.add_argument("-resume", action="store_true",
-                   help="Resume from the last autosaved trainer state")
+    _add_resume(p)
     p.set_defaults(func=_cmd_train_model_set)
 
     p = sub.add_parser("query", description="Query models")
@@ -409,6 +417,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-cap", action="store_true",
                    help="Reduces memory consuption for input dataset (caps k-mer frequences at maximum of 255)")
     p.add_argument("-o", help="Model output path")
+    _add_resume(p)
     p.set_defaults(func=_cmd_train_model_set_chunks)
 
     p = sub.add_parser("train_classifier_chunks", description="Train classifier model based on backbone subtrees (genomes split into chunks)")
@@ -419,6 +428,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-mask", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("-cap", action="store_true")
     p.add_argument("-o", help="Model output path")
+    _add_resume(p)
     p.set_defaults(func=_cmd_train_classifier_chunks)
 
     p = sub.add_parser("get_secondary_classes", description="Emit 2nd/3rd/4th-best classification outputs")

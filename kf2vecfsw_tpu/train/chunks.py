@@ -390,6 +390,8 @@ def train_model_set_chunks_func(
     model_filepath: str,
     mesh=None,
     log_every: int = 1,
+    resume: bool = False,
+    autosave_every: int = 500,
 ) -> list[str]:
     from ..ingest.tree_ops import read_subtrees
 
@@ -477,7 +479,17 @@ def train_model_set_chunks_func(
             consec_lowest, consec_best_epoch = math.inf, -1
 
             lowest, best_epoch, best_params = math.inf, -1, params
+            start_epoch = 0
             ckpt_path = os.path.join(model_filepath, f"model_subtree_{c}.ckpt")
+            state_path = os.path.join(
+                model_filepath, f"trainer_state_chunks_subtree_{c}.ckpt"
+            )
+            if resume:
+                from .resume import restore_trainer_state
+
+                state = restore_trainer_state(state_path, params, log)
+                if state is not None:
+                    start_epoch, params, opt, best_params, lowest, best_epoch, _ = state
             meta = {
                 "model_input_size": input_size,
                 "model_hidden_size_fc1": hidden_size,
@@ -527,19 +539,33 @@ def train_model_set_chunks_func(
                     consts=(dist_dev,), mesh=mesh,
                 )
                 lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
-                best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
-                for epoch0, span in split_spans(0, num_epochs, []):
+                best = (
+                    jax.tree.map(jnp.copy, best_params),
+                    jnp.float32(lowest),
+                    jnp.int32(best_epoch),
+                )
+                boundaries: set[int] = set()
+                if autosave_every:
+                    boundaries.update(range(autosave_every, num_epochs, autosave_every))
+                for epoch0, span in split_spans(start_epoch, num_epochs, sorted(boundaries)):
                     params, opt, best, loss_mat = span_run(
                         params, opt, best, epoch_key, epoch0, span, lr_args
                     )
                     lv = np.asarray(jax.device_get(loss_mat), dtype=np.float64)
                     for i in range(span):
                         account_epoch(epoch0 + i, lv[i])
+                    if autosave_every:
+                        from .resume import save_trainer_state
+
+                        save_trainer_state(
+                            state_path, epoch0 + span - 1, params, opt, best[0],
+                            float(best[1]), int(best[2]),
+                        )
                 # the device comparison decided which params were kept — use
                 # its values for the checkpoint metadata too
                 best_params, lowest, best_epoch = best[0], float(best[1]), int(best[2])
             else:
-                for epoch in range(num_epochs):
+                for epoch in range(start_epoch, num_epochs):
                     lr = step_lr(epoch, lr0, lr_min, lr_decay)
                     perm = rng.permutation(n_items)
                     losses = []
@@ -559,6 +585,16 @@ def train_model_set_chunks_func(
                     epoch_loss = account_epoch(epoch, loss_vals)
                     if epoch_loss < lowest:
                         lowest, best_epoch, best_params = epoch_loss, epoch, params
+                    if autosave_every and (epoch + 1) % autosave_every == 0:
+                        from .resume import save_trainer_state
+
+                        # NOTE: the host path's numpy RNG stream is positional,
+                        # so a resumed run continues training but does not
+                        # replay the identical sample sequence (the device
+                        # path, keyed by absolute epoch, does)
+                        save_trainer_state(
+                            state_path, epoch, params, opt, best_params, lowest, best_epoch
+                        )
 
             log.info(f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest:.20f}")
             log.info(
@@ -616,6 +652,8 @@ def train_classifier_chunks_func(
     model_filepath: str,
     mesh=None,
     log_every: int = 1,
+    resume: bool = False,
+    autosave_every: int = 500,
 ) -> str:
     from ..ingest.tree_ops import read_subtrees
 
@@ -685,6 +723,15 @@ def train_classifier_chunks_func(
         key = jax.random.fold_in(key, 23)
         n_batches = max(1, math.ceil(n_items / batch_size))
         lowest, best_epoch, best_params, highest_acc = math.inf, -1, params, -1.0
+        start_epoch = 0
+        state_path = os.path.join(model_filepath, "trainer_state_chunks_classifier.ckpt")
+        if resume:
+            from .resume import restore_trainer_state
+
+            state = restore_trainer_state(state_path, params, log)
+            if state is not None:
+                start_epoch, params, opt, best_params, lowest, best_epoch, extra = state
+                highest_acc = float(extra.get("acc_at_best", -1.0))
         n_full = n_items // batch_size
         tail_n = n_items - n_full * batch_size
         batch_sizes = [batch_size] * n_full + ([tail_n] if tail_n else [])
@@ -709,9 +756,19 @@ def train_classifier_chunks_func(
                 consts=(labels_dev,), mesh=mesh,
             )
             lr_args = lr_schedule_args(lr0, lr_min, lr_decay)
-            best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
-            epoch_accs: list[float] = []
-            for epoch0, span in split_spans(0, num_epochs, []):
+            best = (
+                jax.tree.map(jnp.copy, best_params),
+                jnp.float32(lowest),
+                jnp.int32(best_epoch),
+            )
+            # accuracy AT the best epoch, keyed by absolute epoch so a resumed
+            # run whose best epoch predates the restart keeps the saved value
+            acc_by_epoch: dict[int, float] = {}
+            resumed_acc = highest_acc
+            boundaries: set[int] = set()
+            if autosave_every:
+                boundaries.update(range(autosave_every, num_epochs, autosave_every))
+            for epoch0, span in split_spans(start_epoch, num_epochs, sorted(boundaries)):
                 params, opt, best, (loss_mat, corr_mat) = span_run(
                     params, opt, best, key, epoch0, span, lr_args
                 )
@@ -719,12 +776,20 @@ def train_classifier_chunks_func(
                 cv = np.asarray(jax.device_get(corr_mat), dtype=np.float64)
                 for i in range(span):
                     _, acc = account_epoch(epoch0 + i, lv[i], cv[i])
-                    epoch_accs.append(acc)
+                    acc_by_epoch[epoch0 + i] = acc
+                if autosave_every:
+                    from .resume import save_trainer_state
+
+                    save_trainer_state(
+                        state_path, epoch0 + span - 1, params, opt, best[0],
+                        float(best[1]), int(best[2]),
+                        extra={"acc_at_best": acc_by_epoch.get(int(best[2]), resumed_acc)},
+                    )
             # device comparison decided the kept params; metadata follows it
             best_params, lowest, best_epoch = best[0], float(best[1]), int(best[2])
-            highest_acc = epoch_accs[best_epoch] if 0 <= best_epoch < len(epoch_accs) else -1.0
+            highest_acc = acc_by_epoch.get(best_epoch, resumed_acc)
         else:
-            for epoch in range(num_epochs):
+            for epoch in range(start_epoch, num_epochs):
                 lr = step_lr(epoch, lr0, lr_min, lr_decay)
                 perm = rng.permutation(n_items)
                 losses, corrects = [], []
@@ -744,6 +809,13 @@ def train_classifier_chunks_func(
                 epoch_loss, acc = account_epoch(epoch, loss_vals, corr_vals)
                 if epoch_loss < lowest:
                     lowest, highest_acc, best_epoch, best_params = epoch_loss, acc, epoch, params
+                if autosave_every and (epoch + 1) % autosave_every == 0:
+                    from .resume import save_trainer_state
+
+                    save_trainer_state(
+                        state_path, epoch, params, opt, best_params, lowest,
+                        best_epoch, extra={"acc_at_best": highest_acc},
+                    )
 
         log.info(
             f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest:.20f}, "
@@ -753,6 +825,8 @@ def train_classifier_chunks_func(
             "model_input_size": input_size,
             "model_hidden_size_fc1": hidden_size,
             "model_class_count": class_count,
+            "best_epoch": best_epoch,
+            "lowest_loss": lowest,
         }
         if custom_mask:
             meta["low_complexity_mask_k"] = k_inferred

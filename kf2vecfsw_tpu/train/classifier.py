@@ -97,6 +97,8 @@ def train_classifier_func(
     model_filepath: str,
     mesh=None,
     log_every: int = 1,
+    resume: bool = False,
+    autosave_every: int = 500,
 ):
     since = time.time()
     log = make_run_logger(model_filepath, f"train_classifier_{timestamp()}.log")
@@ -104,7 +106,7 @@ def train_classifier_func(
         return _train(
             log, since, features_folder, feature_files, clades_info, num_epochs,
             hidden_size, batch_size, lr, lr_min, lr_decay, seed, custom_mask,
-            model_filepath, mesh, log_every,
+            model_filepath, mesh, log_every, resume, autosave_every,
         )
     finally:
         close_logger(log)
@@ -113,7 +115,7 @@ def train_classifier_func(
 def _train(
     log, since, features_folder, feature_files, clades_info, num_epochs,
     hidden_size, batch_size, lr0, lr_min, lr_decay, seed, custom_mask,
-    model_filepath, mesh, log_every,
+    model_filepath, mesh, log_every, resume, autosave_every,
 ):
     log.info("\n==> Input arguments...\n")
     log.info(f"Feature directory: {features_folder}")
@@ -183,13 +185,27 @@ def _train(
     # epochs run in multi-epoch device spans: LR schedule, permutations and
     # best-(loss, acc, params, epoch) tracking all on device; one dispatch +
     # one loss/acc fetch per span instead of one round trip per epoch
+    start_epoch = 0
+    lowest0, acc0, best_epoch0 = np.inf, -1.0, -1
+    best_params0 = jax.tree.map(jnp.copy, params)
+    state_path = os.path.join(model_filepath, "trainer_state_classifier.ckpt")
+    if resume:
+        from .resume import restore_trainer_state
+
+        state = restore_trainer_state(state_path, params, log)
+        if state is not None:
+            start_epoch, params, opt, best_params0, lowest0, best_epoch0, extra = state
+            acc0 = float(extra.get("highest_acc", -1.0))
     best = (
-        jax.tree.map(jnp.copy, params),
-        jnp.float32(np.inf),
-        jnp.float32(-1.0),
-        jnp.int32(-1),
+        best_params0,
+        jnp.float32(lowest0),
+        jnp.float32(acc0),
+        jnp.int32(best_epoch0),
     )
-    for epoch0, span in split_spans(0, num_epochs, []):
+    boundaries: set[int] = set()
+    if autosave_every:
+        boundaries.update(range(autosave_every, num_epochs, autosave_every))
+    for epoch0, span in split_spans(start_epoch, num_epochs, sorted(boundaries)):
         params, opt, best, losses, accs = runner.run_epoch_span(
             params, opt, best, feats_dev, labels_dev, key, epoch0, span, lr_args
         )
@@ -205,6 +221,13 @@ def _train(
                     f"Time: {hrs:02d}:{m:02d}:{s:02d}"
                 )
                 log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{step_lr(epoch, lr0, lr_min, lr_decay):.20f}")
+        if autosave_every:
+            from .resume import save_trainer_state
+
+            save_trainer_state(
+                state_path, epoch0 + span - 1, params, opt, best[0],
+                float(best[1]), int(best[3]), extra={"highest_acc": float(best[2])},
+            )
     best_params, lowest_loss, highest_acc, best_epoch = (
         best[0],
         float(best[1]),

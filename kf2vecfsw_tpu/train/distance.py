@@ -315,26 +315,11 @@ def _train_all(
         ckpt_path = os.path.join(model_filepath, f"model_subtree_{c}.ckpt")
         state_path = os.path.join(model_filepath, f"trainer_state_subtree_{c}.ckpt")
         if resume:
-            from .resume import load_trainer_state
+            from .resume import restore_trainer_state
 
-            state = load_trainer_state(state_path)
+            state = restore_trainer_state(state_path, params, log)
             if state is not None:
-                last_epoch, saved_params, saved_opt, saved_best, lowest, best_epoch = state
-                want = jax.tree.map(lambda a: a.shape, jax.device_get(params))
-                got = jax.tree.map(lambda a: np.asarray(a).shape, saved_params)
-                if want != got:
-                    raise SystemExit(
-                        f"cannot -resume: autosaved state in {state_path} has "
-                        f"parameter shapes {got} but the current flags build "
-                        f"{want} — rerun with the original -hidden_sz/-embed_sz/"
-                        f"model-family flags, or delete the state file"
-                    )
-                params, opt, best_params = saved_params, saved_opt, saved_best
-                params = jax.tree.map(jnp_asarray_f32, params)
-                opt = jax.tree.map(jnp_asarray_f32, opt)
-                best_params = jax.tree.map(jnp_asarray_f32, best_params)
-                start_epoch = last_epoch + 1
-                log.info(f"Resuming from epoch {start_epoch} (autosaved state)")
+                start_epoch, params, opt, best_params, lowest, best_epoch, _ = state
 
         from ..utils.profiling import maybe_trace
 

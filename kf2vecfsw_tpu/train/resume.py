@@ -19,13 +19,24 @@ import numpy as np
 from .checkpoint import _flatten, _unflatten
 
 
-def save_trainer_state(path: str, epoch: int, params, opt, best_params, lowest: float, best_epoch: int):
+def save_trainer_state(
+    path: str,
+    epoch: int,
+    params,
+    opt,
+    best_params,
+    lowest: float,
+    best_epoch: int,
+    extra: dict | None = None,
+):
+    """`extra` carries trainer-specific JSON-serializable scalars (e.g. the
+    classifier's accuracy at the best epoch)."""
     arrays = {}
     for tag, tree in (("params", params), ("opt", opt), ("best", best_params)):
         tree = jax.device_get(tree)
         for k, v in _flatten(tree).items():
             arrays[f"{tag}::{k}"] = np.asarray(v)
-    meta = {"epoch": epoch, "lowest": lowest, "best_epoch": best_epoch}
+    meta = {"epoch": epoch, "lowest": lowest, "best_epoch": best_epoch, **(extra or {})}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, __meta__=json.dumps(meta), **arrays)
@@ -33,7 +44,7 @@ def save_trainer_state(path: str, epoch: int, params, opt, best_params, lowest: 
 
 
 def load_trainer_state(path: str):
-    """-> (epoch, params, opt, best_params, lowest, best_epoch) or None."""
+    """-> (epoch, params, opt, best_params, lowest, best_epoch, extra) or None."""
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
@@ -45,6 +56,7 @@ def load_trainer_state(path: str):
                 continue
             tag, _, rest = key.partition("::")
             trees[tag][rest] = data[key]
+    extra = {k: v for k, v in meta.items() if k not in ("epoch", "lowest", "best_epoch")}
     return (
         int(meta["epoch"]),
         _unflatten(trees["params"]),
@@ -52,4 +64,41 @@ def load_trainer_state(path: str):
         _unflatten(trees["best"]),
         float(meta["lowest"]),
         int(meta["best_epoch"]),
+        extra,
+    )
+
+
+def restore_trainer_state(state_path: str, params, log=None):
+    """Load an autosave, guard its parameter shapes against the freshly-built
+    `params`, and return (start_epoch, params, opt, best_params, lowest,
+    best_epoch, extra) as device trees — or None when no autosave exists.
+
+    Raises SystemExit on an architecture mismatch: silently training resumed
+    params of a different shape under lying checkpoint metadata is the one
+    failure mode worse than losing the run."""
+    import jax.numpy as jnp
+
+    state = load_trainer_state(state_path)
+    if state is None:
+        return None
+    last_epoch, s_params, s_opt, s_best, lowest, best_epoch, extra = state
+    want = jax.tree.map(lambda a: np.asarray(a).shape, jax.device_get(params))
+    got = jax.tree.map(lambda a: np.asarray(a).shape, s_params)
+    if want != got:
+        raise SystemExit(
+            f"cannot -resume: autosaved state in {state_path} has parameter "
+            f"shapes {got} but the current flags build {want} — rerun with "
+            f"the original size/model-family flags, or delete the state file"
+        )
+    to_dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    if log is not None:
+        log.info(f"Resuming from epoch {last_epoch + 1} (autosaved state)")
+    return (
+        last_epoch + 1,
+        to_dev(s_params),
+        to_dev(s_opt),
+        to_dev(s_best),
+        lowest,
+        best_epoch,
+        extra,
     )

@@ -38,9 +38,10 @@ def test_trainer_state_roundtrip(tmp_path):
     params = init_dist_embed(jax.random.PRNGKey(0), 8, 4, 2)
     opt = adam_init(params)
     path = str(tmp_path / "state.ckpt")
-    save_trainer_state(path, 41, params, opt, params, 0.123, 17)
-    epoch, p2, o2, b2, lowest, best_epoch = load_trainer_state(path)
+    save_trainer_state(path, 41, params, opt, params, 0.123, 17, extra={"highest_acc": 0.5})
+    epoch, p2, o2, b2, lowest, best_epoch, extra = load_trainer_state(path)
     assert epoch == 41 and best_epoch == 17 and np.isclose(lowest, 0.123)
+    assert extra == {"highest_acc": 0.5}
     for a, b in zip(np.asarray(params["fc1"]["w"]), p2["fc1"]["w"]):
         assert np.array_equal(np.asarray(a), b)
 
@@ -112,3 +113,124 @@ def test_resume_rejects_mismatched_architecture(tmp_path):
     train_model_set_func(hidden_size=16, **common)
     with pytest.raises(SystemExit, match="cannot -resume"):
         train_model_set_func(hidden_size=24, resume=True, **common)
+
+
+def _ckpt_equal(path_a, path_b):
+    import jax
+
+    from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+
+    name_a, meta_a, pa = load_checkpoint(path_a)
+    name_b, meta_b, pb = load_checkpoint(path_b)
+    assert name_a == name_b
+    assert meta_a["best_epoch"] == meta_b["best_epoch"], (meta_a, meta_b)
+    la, lb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+    assert len(la) == len(lb)
+    return all(np.allclose(np.asarray(a), np.asarray(b), atol=1e-7) for a, b in zip(la, lb))
+
+
+def test_classifier_resume_matches_uninterrupted(tmp_path):
+    """Kill-after-epoch-N + -resume reproduces the uninterrupted classifier
+    run bit-for-bit: device spans key every epoch's permutation by absolute
+    epoch index, so the restart replays the identical schedule."""
+    from kf2vecfsw_tpu.train.classifier import train_classifier_func
+
+    rng = np.random.default_rng(3)
+    kf_dir = tmp_path / "kf"
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    for d in (kf_dir, out_a, out_b):
+        d.mkdir()
+    names = [f"g{i}" for i in range(6)]
+    for n in names:
+        v = rng.random(32)
+        write_kf(str(kf_dir / f"{n}.kf"), [(n, v / v.sum())])
+    sub = tmp_path / "t.subtrees"
+    sub.write_text("genome clade\n" + "".join(f"{n} {i % 2}\n" for i, n in enumerate(names)))
+    files = sorted(glob.glob(str(kf_dir / "*.kf")))
+    common = dict(log_every=10, autosave_every=5)
+
+    # A: 14 epochs uninterrupted
+    train_classifier_func(str(kf_dir), files, str(sub), 14, 16, 4, 1e-3, 3e-6,
+                          2000, 28, False, str(out_a), **common)
+    # B: 10 epochs ("crash"), then resume to 14
+    train_classifier_func(str(kf_dir), files, str(sub), 10, 16, 4, 1e-3, 3e-6,
+                          2000, 28, False, str(out_b), **common)
+    assert os.path.exists(out_b / "trainer_state_classifier.ckpt")
+    train_classifier_func(str(kf_dir), files, str(sub), 14, 16, 4, 1e-3, 3e-6,
+                          2000, 28, False, str(out_b), resume=True, **common)
+    assert _ckpt_equal(str(out_a / "classifier_model.ckpt"),
+                       str(out_b / "classifier_model.ckpt"))
+
+
+def _chunk_fixture(root, n=4, v=32, rows=6):
+    rng = np.random.default_rng(5)
+    chunks_dir = os.path.join(root, "chunks")
+    full_dir = os.path.join(root, "full")
+    os.makedirs(chunks_dir), os.makedirs(full_dir)
+    names = [f"g{i}" for i in range(n)]
+    for g in names:
+        mat = rng.integers(0, 50, size=(rows, v)).astype(np.float64)
+        write_kf(
+            os.path.join(chunks_dir, f"{g}.kf"),
+            [(f"{g}.part_c1_{r}", mat[r]) for r in range(rows)],
+        )
+        fv = mat.sum(axis=0)
+        write_kf(os.path.join(full_dir, f"{g}.kf"), [(g, fv / fv.sum())])
+    sub = os.path.join(root, "t.subtrees")
+    with open(sub, "w") as f:
+        f.write("genome clade\n" + "".join(f"{g} 0\n" for g in names))
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+    write_di_mtrx(os.path.join(root, "t_subtree_0.di_mtrx"), names, d)
+    return chunks_dir, full_dir, sub, names
+
+
+def test_chunked_distance_resume_matches_uninterrupted(tmp_path):
+    from kf2vecfsw_tpu.train.chunks import train_model_set_chunks_func
+
+    chunks_dir, full_dir, sub, _ = _chunk_fixture(str(tmp_path))
+    files = sorted(glob.glob(os.path.join(chunks_dir, "*.kf")))
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    out_a.mkdir(), out_b.mkdir()
+    common = dict(log_every=10, autosave_every=5)
+
+    train_model_set_chunks_func(chunks_dir, full_dir, files, sub, str(tmp_path),
+                                12, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28, False,
+                                str(out_a), **common)
+    train_model_set_chunks_func(chunks_dir, full_dir, files, sub, str(tmp_path),
+                                8, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28, False,
+                                str(out_b), **common)
+    assert os.path.exists(out_b / "trainer_state_chunks_subtree_0.ckpt")
+    train_model_set_chunks_func(chunks_dir, full_dir, files, sub, str(tmp_path),
+                                12, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28, False,
+                                str(out_b), resume=True, **common)
+    assert _ckpt_equal(str(out_a / "model_subtree_0.ckpt"),
+                       str(out_b / "model_subtree_0.ckpt"))
+
+
+def test_chunked_classifier_resume_matches_uninterrupted(tmp_path):
+    from kf2vecfsw_tpu.train.chunks import train_classifier_chunks_func
+
+    chunks_dir, full_dir, sub, names = _chunk_fixture(str(tmp_path))
+    # two clades so the classifier has something to separate
+    with open(sub, "w") as f:
+        f.write("genome clade\n" + "".join(f"{g} {i % 2}\n" for i, g in enumerate(names)))
+    files = sorted(glob.glob(os.path.join(chunks_dir, "*.kf")))
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    out_a.mkdir(), out_b.mkdir()
+    common = dict(log_every=10, autosave_every=5)
+
+    train_classifier_chunks_func(chunks_dir, full_dir, files, sub, 12, 16, 4,
+                                 1e-3, 3e-6, 2000, 28, False, False, str(out_a), **common)
+    train_classifier_chunks_func(chunks_dir, full_dir, files, sub, 8, 16, 4,
+                                 1e-3, 3e-6, 2000, 28, False, False, str(out_b), **common)
+    assert os.path.exists(out_b / "trainer_state_chunks_classifier.ckpt")
+    train_classifier_chunks_func(chunks_dir, full_dir, files, sub, 12, 16, 4,
+                                 1e-3, 3e-6, 2000, 28, False, False, str(out_b),
+                                 resume=True, **common)
+    assert _ckpt_equal(str(out_a / "classifier_model.ckpt"),
+                       str(out_b / "classifier_model.ckpt"))
