@@ -58,7 +58,12 @@ def sum_branch_clusters(tree: Tree, threshold: float) -> list[list[str]]:
             else:
                 length = c.edge_length or 0.0
                 side.append(totals[id(c)] + max(length, 0.0))
-        if side[0] + side[1] > threshold:
+        # cut until under threshold: when BOTH subtrees exceed it, a single
+        # cut would pass an over-threshold total upward and the parent would
+        # then emit a cluster whose internal branch sum violates the mode's
+        # contract (possible on large unit-edge trees; a 5-leaf golden never
+        # hits it)
+        while side[0] + side[1] > threshold:
             heavy = 0 if side[0] > side[1] else 1
             cluster = collect_leaves(children[heavy])
             cut.add(id(children[heavy]))

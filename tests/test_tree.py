@@ -1,6 +1,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from kf2vecfsw_tpu.tree import parse_newick, read_tree_newick, leaf_distance_matrix
 from kf2vecfsw_tpu.tree.cluster import assign_clades, sum_branch_clusters
@@ -125,3 +126,95 @@ def test_trailing_content_after_first_tree_ignored():
     assert sorted(t.leaf_labels()) == ["A", "B"]
     t2 = parse_newick("(A,B); trailing garbage")
     assert sorted(t2.leaf_labels()) == ["A", "B"]
+
+
+def _random_binary_tree(rng, n_leaves, unit_edges=True):
+    """Random binary tree via sequential leaf attachment."""
+    from kf2vecfsw_tpu.tree.newick import Node, Tree
+
+    nodes = [Node(f"L0", 1.0), Node(f"L1", 1.0)]
+    root = Node(None, None, nodes[:2])
+    for c in nodes:
+        c.parent = root
+    leaves = list(nodes)
+    for i in range(2, n_leaves):
+        target = leaves[int(rng.integers(0, len(leaves)))]
+        newleaf = Node(f"L{i}", 1.0)
+        inner = Node(None, target.edge_length)
+        parent = target.parent
+        parent.children[parent.children.index(target)] = inner
+        inner.parent = parent
+        target.edge_length = 1.0
+        inner.children = [target, newleaf]
+        target.parent = inner
+        newleaf.parent = inner
+        leaves.append(newleaf)
+    if not unit_edges:
+        for nd in Tree(root).traverse_postorder():
+            if nd.edge_length is not None:
+                nd.edge_length = float(rng.random()) * 2.0
+    return Tree(root)
+
+
+def _cluster_branch_sum(tree, cluster):
+    """Total branch length of the subtree induced by the cluster's leaves
+    (sum of edges strictly below the cluster's LCA-rooted extracted tree)."""
+    sub = tree.extract_tree_with(set(cluster))
+    total = 0.0
+    for nd in sub.traverse_postorder():
+        if nd is not sub.root and nd.edge_length:
+            total += nd.edge_length
+    return total
+
+
+@pytest.mark.parametrize("seed,n,unit", [(0, 100, True), (1, 300, True), (2, 100, False), (3, 500, True), (4, 1000, True)])
+def test_sum_branch_threshold_invariant_random_trees(seed, n, unit):
+    """Every emitted cluster's internal branch-length sum must respect the
+    threshold (the sum_branch mode's contract), clusters must partition the
+    leaves, and the result must be deterministic — on random 100-1000 leaf
+    trees at several thresholds."""
+    from kf2vecfsw_tpu.tree.cluster import sum_branch_clusters
+
+    rng = np.random.default_rng(seed)
+    t = _random_binary_tree(rng, n, unit_edges=unit)
+    all_leaves = sorted(t.leaf_labels())
+    for thr in (2.0, 4.0, 10.0, 30.0):
+        clusters = sum_branch_clusters(t, thr)
+        got = sorted(x for c in clusters for x in c)
+        assert got == all_leaves  # partition: every leaf exactly once
+        for c in clusters:
+            if len(c) > 1:
+                assert _cluster_branch_sum(t, c) <= thr + 1e-9, (thr, len(c))
+        assert clusters == sum_branch_clusters(t, thr)
+
+
+def test_sum_branch_cuts_both_children_when_both_exceed():
+    """A node whose two child subtrees BOTH exceed the threshold must cut
+    both (a single cut would pass an over-threshold total upward and a later
+    cut would emit a violating cluster)."""
+    from kf2vecfsw_tpu.tree.cluster import sum_branch_clusters
+
+    # two balanced 8-leaf unit subtrees under the root: each side's internal
+    # sum is 8*1 + 4 + 2 = 14 edges = 14.0 > threshold 10; together 30
+    def balanced(prefix, depth):
+        from kf2vecfsw_tpu.tree.newick import Node
+
+        if depth == 0:
+            return Node(prefix, 1.0)
+        left = balanced(prefix + "0", depth - 1)
+        right = balanced(prefix + "1", depth - 1)
+        nd = Node(None, 1.0, [left, right])
+        left.parent = right.parent = nd
+        return nd
+
+    from kf2vecfsw_tpu.tree.newick import Node, Tree
+
+    l = balanced("A", 3)
+    r = balanced("B", 3)
+    root = Node(None, None, [l, r])
+    l.parent = r.parent = root
+    t = Tree(root)
+    clusters = sum_branch_clusters(t, 10.0)
+    for c in clusters:
+        if len(c) > 1:
+            assert _cluster_branch_sum(t, c) <= 10.0 + 1e-9, c
