@@ -70,13 +70,20 @@ def bench_train_steps() -> float:
 
 
 def bench_vectorization() -> dict:
-    """k=7 genome -> .kf vector throughput for each counting backend:
-    - auto: what get_frequencies actually uses (native C++ host counter here)
-    - device: the Pallas TPU kernel end-to-end (incl. host link transfer)
-    - numpy: the pure-python fallback."""
+    """k=7 genome -> .kf vector throughput per counting backend:
+    - auto: what get_frequencies actually uses on this rig (link-probed)
+    - tpu_kernel: the batched multi-genome MXU path with device-RESIDENT
+      inputs (the hardware number a PCIe host sees; on this rig the tunnel
+      link, ~40 MB/s, not the chip, bounds e2e)
+    - tpu_e2e: same path end-to-end incl. host pack + link transfers
+    - numpy: the pure-python fallback.
+    Plus a k=11 on-chip sample (64 hi-bin passes; the MXU histogram's
+    redundancy regime) on 1 Mb pieces."""
+    import jax
+
     from kf2vecfsw_tpu.io.fasta import encode_bases
     from kf2vecfsw_tpu.ingest.frequencies import compute_kf_vector
-    from kf2vecfsw_tpu.kernels.histogram import count_canonical_device
+    from kf2vecfsw_tpu.kernels import histogram as H
     from kf2vecfsw_tpu.kmer.counter import KmerCounter, count_canonical_numpy
     from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes
 
@@ -98,26 +105,55 @@ def bench_vectorization() -> dict:
         compute_kf_vector(counter, [codes])
     dt_auto = (time.perf_counter() - t0) / n
 
-    # TPU kernel path as deployed by get_frequencies: many genomes in
-    # flight (async dispatch) + ONE batched device->host fetch, so link
-    # round-trip latency amortizes across the batch
-    from kf2vecfsw_tpu.kernels.histogram import (
-        count_canonical_device_async,
-        finalize_device_counts_batch,
-    )
+    g = 16
+    genomes = [codes] * g
+    acc = H.count_canonical_device_batch_async(genomes, 7)
+    H.finalize_device_counts_batch_array(acc, 7)  # warm/compile
+    dt_e2e = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = H.count_canonical_device_batch_async(genomes, 7)
+        hists = H.finalize_device_counts_batch_array(acc, 7)
+        dt_e2e = min(dt_e2e, (time.perf_counter() - t0) / g)
+    [h[vocab] for h in hists]
 
-    n_dev = 16
-    count_canonical_device(codes, 7)  # compile
+    # on-chip: inputs staged on device once, steady-state kernel+preamble
+    length = H._bucket_bases(codes.size)
+    packed = np.zeros((g, length // 4), dtype=np.uint8)
+    invb = np.full((g, length // 8), 0xFF, dtype=np.uint8)
+    for i in range(g):
+        p, ib, _ = H.pack_2bit(codes)
+        packed[i, : p.size] = p
+        invb[i, : ib.size] = ib
+    pd, idv = jax.device_put(packed), jax.device_put(invb)
+    np.asarray(pd[0, :8])
+    use_int8 = H._resolve_int8()
+    np.asarray(H._count_batch_jit(pd, idv, 7, use_int8, False)[0, :8])  # warm
+    dt_chip = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(H._count_batch_jit(pd, idv, 7, use_int8, False)[0, :8])
+        dt_chip = min(dt_chip, (time.perf_counter() - t0) / g)
 
-    def device_batch():
-        accs = [count_canonical_device_async(codes, 7) for _ in range(n_dev)]
-        hists = finalize_device_counts_batch(accs, 7)
-        return [h[vocab].astype(np.float64) for h in hists]
-
-    device_batch()  # warm (stack compile)
-    t0 = time.perf_counter()
-    device_batch()
-    dt_dev = (time.perf_counter() - t0) / n_dev
+    # k=11 on-chip sample: 1 Mb pieces, G=2 (keeps the grid small enough
+    # for this rig's remote compiler; cached across rounds)
+    piece = codes[:1_000_000]
+    g11 = 2
+    length11 = H._bucket_bases(piece.size)
+    p11 = np.zeros((g11, length11 // 4), dtype=np.uint8)
+    i11 = np.full((g11, length11 // 8), 0xFF, dtype=np.uint8)
+    for i in range(g11):
+        p, ib, _ = H.pack_2bit(piece)
+        p11[i, : p.size] = p
+        i11[i, : ib.size] = ib
+    pd11, idv11 = jax.device_put(p11), jax.device_put(i11)
+    np.asarray(pd11[0, :8])
+    np.asarray(H._count_batch_jit(pd11, idv11, 11, use_int8, False)[0, :8])  # warm
+    dt11 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(H._count_batch_jit(pd11, idv11, 11, use_int8, False)[0, :8])
+        dt11 = min(dt11, (time.perf_counter() - t0) / g11)
 
     t0 = time.perf_counter()
     hist = count_canonical_numpy(codes, 7)
@@ -128,7 +164,10 @@ def bench_vectorization() -> dict:
     return {
         "vectorization_genomes_per_s": round(1.0 / dt_auto, 3),
         "vectorization_genome_mb": genome_mb,
-        "vectorization_tpu_kernel_genomes_per_s": round(1.0 / dt_dev, 3),
+        "vectorization_tpu_kernel_genomes_per_s": round(1.0 / dt_chip, 3),
+        "vectorization_tpu_e2e_genomes_per_s": round(1.0 / dt_e2e, 3),
+        "vectorization_tpu_k11_mb_per_s": round(1.0 / dt11, 3),
+        "vectorization_link_mbps": round(H.link_bandwidth_mbps(), 1),
         "vectorization_numpy_genomes_per_s": round(1.0 / dt_cpu, 3),
     }
 

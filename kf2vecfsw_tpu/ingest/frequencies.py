@@ -84,18 +84,21 @@ def get_frequencies(
         recs = read_sequences(os.path.join(input_dir, fname))
         return fname, [r.codes for r in recs]
 
-    # pipeline: threaded read+encode feeds the counter; on the device
-    # backend up to MAX_INFLIGHT genomes are dispatched before any histogram
-    # is read back, overlapping transfer/compute/readback — and the whole
-    # in-flight batch is fetched in ONE device->host transfer (per-fetch
-    # round-trip latency would otherwise dominate on remote/tunneled chips)
+    # pipeline: threaded read+encode feeds the counter; MAX_INFLIGHT genomes
+    # are dispatched as ONE batched device program (one transfer pair, one
+    # kernel launch with a genome grid dimension, one device->host fetch for
+    # the whole batch) — per-genome dispatch/fetch round trips would
+    # otherwise dominate on remote/tunneled chips
     MAX_INFLIGHT = 16
 
     inflight: list = []
 
     def drain_all():
         batch, inflight[:] = list(inflight), []
-        vecs = counter.feature_vector_finish_batch([tok for _, tok in batch])
+        if not batch:
+            return
+        tokens = counter.count_begin_batch([seqs for _, seqs in batch])
+        vecs = counter.feature_vector_finish_batch(tokens)
         for (fname, _), counts in zip(batch, vecs):
             name = sample_name(fname)
             vec = _finalize_vec(counts, pseudocount, raw_cnt, name=name)
@@ -118,7 +121,7 @@ def get_frequencies(
             nxt = next(it, None)
             if nxt is not None:
                 pending.append(pool.submit(load, nxt))
-            inflight.append((fname, counter.count_begin(seqs)))
+            inflight.append((fname, seqs))
             if len(inflight) >= MAX_INFLIGHT:
                 drain_all()
         drain_all()

@@ -9,6 +9,7 @@
 // Build: make (g++ -O3 -shared). Loaded via ctypes from lib.py; pure-numpy
 // fallbacks exist for every entry point.
 
+#include <atomic>
 #include <charconv>
 #include <cmath>
 #include <cstdint>
@@ -138,6 +139,136 @@ inline uint64_t pairrev(uint64_t c2, int k) {
     r = (r << 8) | REV8[(c2 >> (8 * j)) & 0xFF];
   // r now has the reversal of nbytes*8 bits; drop the pad
   return r >> (8 * nbytes - bits);
+}
+
+// ---- radix-partitioned counting for large k (k >= 12) ----
+//
+// At k >= 12 the LE histogram no longer fits caches (64 MiB per thread at
+// k=12, 256 MiB at k=13): every window update is a cache miss, and the old
+// code dropped to a single-threaded rolling loop at k=13. Instead: pass A
+// streams windows into 256 per-thread buckets keyed by the top 8 bits of
+// the LE code (sequential writes, bucket tails cache-resident); pass B
+// builds each bucket's dense sub-histogram (256 KiB at k=12, 1 MiB at k=13
+// — cache-resident), folds it to canonical bins, and adds into the shared
+// histogram with relaxed atomics (the two LE preimages of one canonical bin
+// generally live in different buckets). Both passes parallelize; the stream
+// is processed in segments so buffered codes stay bounded.
+
+// Emit LE window codes ending in [e_lo, e_hi) into bufs[code >> shift]
+// (same scan structure as count_le_range; k <= 16 so codes fit uint32).
+void emit_le_range(const uint8_t* codes, int64_t n, int k, int64_t e_lo,
+                   int64_t e_hi, int bucket_shift,
+                   std::vector<uint32_t>* bufs) {
+  const uint64_t mask = (1ULL << (2 * k)) - 1;
+  const int top = 2 * (k - 1);
+  uint64_t T = 0;
+  int64_t run = 0;
+  for (int64_t i = e_lo - k + 1 < 0 ? 0 : e_lo - k + 1; i < e_lo; ++i) {
+    uint8_t b = codes[i];
+    run = b < 4 ? run + 1 : 0;
+    T = (T >> 2) | ((uint64_t)(b & 3) << top);
+  }
+  int64_t e = e_lo;
+#if defined(__BMI2__)
+  for (; e + 8 <= e_hi; e += 8) {
+    uint64_t v;
+    memcpy(&v, codes + e, 8);
+    if (v & 0xFCFCFCFCFCFCFCFCULL) {
+      for (int u = 0; u < 8; ++u) {
+        uint8_t b = codes[e + u];
+        run = b < 4 ? run + 1 : 0;
+        T = (T >> 2) | ((uint64_t)(b & 3) << top);
+        if (run >= k) bufs[T >> bucket_shift].push_back((uint32_t)T);
+      }
+      continue;
+    }
+    uint64_t packed = _pext_u64(v, 0x0303030303030303ULL);
+    uint64_t buf = T | (packed << (2 * k));
+    if (run >= k - 1) {
+      for (int u = 0; u < 8; ++u) {
+        uint64_t c = (buf >> (2 * (u + 1))) & mask;
+        bufs[c >> bucket_shift].push_back((uint32_t)c);
+      }
+    } else {
+      int64_t r0 = run;
+      for (int u = 0; u < 8; ++u) {
+        uint64_t c = (buf >> (2 * (u + 1))) & mask;
+        if (r0 + 1 + u >= k) bufs[c >> bucket_shift].push_back((uint32_t)c);
+      }
+    }
+    run += 8;
+    T = (buf >> 16) & mask;
+  }
+#endif
+  for (; e < e_hi; ++e) {
+    uint8_t b = codes[e];
+    run = b < 4 ? run + 1 : 0;
+    T = (T >> 2) | ((uint64_t)(b & 3) << top);
+    if (run >= k) bufs[T >> bucket_shift].push_back((uint32_t)T);
+  }
+}
+
+void count_partitioned(const uint8_t* codes, int64_t n, int k, int64_t* hist,
+                       int n_threads) {
+  const int kBuckets = 256;
+  const int bucket_shift = 2 * k - 8;
+  const int64_t sub_bins = 1LL << bucket_shift;
+  const uint64_t mask = (1ULL << (2 * k)) - 1;
+  // segment the stream so buffered codes stay <= ~256 MiB total
+  const int64_t kSegWindows = 1LL << 26;
+  std::vector<std::vector<std::vector<uint32_t>>> bufs(
+      n_threads, std::vector<std::vector<uint32_t>>(kBuckets));
+  for (int64_t seg_lo = k - 1; seg_lo < n; seg_lo += kSegWindows) {
+    int64_t seg_hi = seg_lo + kSegWindows < n ? seg_lo + kSegWindows : n;
+    {
+      std::vector<std::thread> threads;
+      int64_t span = seg_hi - seg_lo;
+      int64_t per = (span + n_threads - 1) / n_threads;
+      for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = seg_lo + t * per;
+        int64_t hi = lo + per < seg_hi ? lo + per : seg_hi;
+        if (lo >= hi) break;
+        threads.emplace_back(emit_le_range, codes, n, k, lo, hi, bucket_shift,
+                             bufs[t].data());
+      }
+      for (auto& th : threads) th.join();
+    }
+    std::atomic<int> next{0};
+    auto worker = [&]() {
+      std::vector<uint32_t> sub((size_t)sub_bins);
+      const uint32_t lomask = (uint32_t)(sub_bins - 1);
+      for (;;) {
+        int b = next.fetch_add(1);
+        if (b >= kBuckets) return;
+        bool any = false;
+        for (auto& tb : bufs)
+          if (!tb[b].empty()) any = true;
+        if (!any) continue;
+        memset(sub.data(), 0, (size_t)sub_bins * sizeof(uint32_t));
+        for (auto& tb : bufs)
+          for (uint32_t c : tb[b]) ++sub[c & lomask];
+        const uint64_t base = (uint64_t)b << bucket_shift;
+        for (int64_t i = 0; i < sub_bins; ++i) {
+          uint32_t v = sub[i];
+          if (!v) continue;
+          uint64_t c2 = base | (uint64_t)i;
+          uint64_t f = pairrev(c2, k);
+          uint64_t r = (~c2) & mask;
+          __atomic_fetch_add(&hist[f < r ? f : r], (int64_t)v,
+                             __ATOMIC_RELAXED);
+        }
+      }
+    };
+    {
+      std::vector<std::thread> threads;
+      for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+      worker();
+      for (auto& th : threads) th.join();
+    }
+    if (seg_hi < n)
+      for (auto& tb : bufs)
+        for (auto& v : tb) v.clear();
+  }
 }
 
 // Fold little-endian counts into the canonical histogram (adds into out).
@@ -469,6 +600,15 @@ void kf2vec_count_canonical(const uint8_t* codes, int64_t n, int k,
   const int64_t kMaxPrivateBytes = 64LL << 20;  // 64 MiB per thread
   if (n_threads < 1) n_threads = 1;
   if (n_win < 1 << 16) n_threads = 1;
+
+  // k >= 12: LE histograms stop fitting caches (64 MiB at k=12 per thread);
+  // use the radix-partitioned two-pass counter (multithreaded, cache-
+  // resident 1 MiB sub-histograms) instead of either the per-thread LE
+  // path or the old single-threaded rolling fallback
+  if (k >= 12 && k <= 16 && n_win < (1LL << 31)) {
+    count_partitioned(codes, n, k, hist, n_threads);
+    return;
+  }
 
   const bool le_ok = k <= 24 && nbins * (int64_t)sizeof(uint32_t) <= kMaxPrivateBytes;
   if (!le_ok) {

@@ -273,3 +273,206 @@ def count_canonical_device(codes_u8: np.ndarray, k: int) -> np.ndarray:
 
         return count_canonical_numpy(codes_u8, k)
     return finalize_device_counts(count_canonical_device_async(codes_u8, k), k)
+
+
+# -- batched multi-genome path -------------------------------------------------
+#
+# The single-genome path above pays per-genome dispatch/link overheads (the
+# kernel itself is ~1-2 ms for a 5 Mb genome at k=7, but each dispatch round
+# trip on a remote/tunneled chip costs 10x that). The batched path packs G
+# genomes into ONE device program — one host->device transfer pair, one jit
+# dispatch with a genome grid dimension, one device->host fetch — so the
+# overheads amortize across the batch. One-hots are int8 (2x bf16 MXU
+# throughput on v5e) with exact int32 accumulation, removing the f32 2^24
+# bin-count cap entirely; if the backend rejects int8 matmuls the kernel
+# falls back to bf16/f32 (exact for < 2^24 windows/genome, guaranteed by
+# MAX_BATCH_BASES).
+
+MAX_BATCH_BASES = 1 << 23  # longer genomes use the chunked single-genome path
+# windows per batch-kernel grid step: much larger than the single-genome
+# TILE_T because this backend's compile time scales with the TOTAL grid step
+# count (measured ~0.16 s/step over the remote compiler) — 32k windows/step
+# keeps a 16-genome x 8M-base batch at ~4k steps while VMEM stays small
+# (int8 one-hots: (h_tile, 4096) <= 2 MiB)
+BATCH_TILE_T = 1 << 15
+
+
+def _hist_kernel_batch(codes_ref, out_ref, *, h_tile: int, use_int8: bool):
+    h = pl.program_id(1)
+    t = pl.program_id(2)
+    codes = codes_ref[0]                      # (CODE_ROWS, cols) int32
+    hi = codes >> 7
+    lo = codes & 127
+    cols = codes.shape[1]
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (h_tile, cols), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, cols), 0)
+    oh_dtype = jnp.int8 if use_int8 else jnp.bfloat16
+    acc_dtype = jnp.int32 if use_int8 else jnp.float32
+    acc = jnp.zeros((h_tile, 128), acc_dtype)
+    for r in range(CODE_ROWS):
+        oh_hi = (iota_hi == (hi[r : r + 1, :] - h * h_tile)).astype(oh_dtype)
+        oh_lo = (iota_lo == lo[r : r + 1, :]).astype(oh_dtype)
+        acc = acc + jax.lax.dot_general(
+            oh_hi,
+            oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[0] = acc
+
+    @pl.when(t != 0)
+    def _accum():
+        out_ref[0] = out_ref[0] + acc
+
+
+def histogram_pallas_batch(
+    codes: jax.Array, k: int, use_int8: bool, interpret: bool = False
+) -> jax.Array:
+    """Per-genome histograms of int32 codes: codes (G, R, cols) ->
+    (G, nH*H_TILE, 128); out-of-range codes (trash) are dropped."""
+    h_tile, n_h = _h_tiling(k)
+    g, rows, cols = codes.shape
+    n_t = rows // CODE_ROWS
+    kernel = functools.partial(_hist_kernel_batch, h_tile=h_tile, use_int8=use_int8)
+    out_dtype = jnp.int32 if use_int8 else jnp.float32
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, n_h * h_tile, 128), out_dtype),
+        grid=(g, n_h, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, CODE_ROWS, cols), lambda g, h, t: (g, t, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h_tile, 128), lambda g, h, t: (g, h, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(codes)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _count_batch_jit(
+    packed: jax.Array, inv_bits: jax.Array, k: int, use_int8: bool, interpret: bool
+) -> jax.Array:
+    """(G, L//4) packed + (G, L//8) invalid bits -> (G, >=4^k) int32 counts."""
+    h_tile, n_h = _h_tiling(k)
+    trash = n_h * h_tile * 128
+    bases = jax.vmap(unpack_2bit_xla)(packed, inv_bits)
+    codes = jax.vmap(lambda b: window_codes_xla(b, k, trash))(bases)
+    n = codes.shape[1]
+    n_pad = -(-n // BATCH_TILE_T) * BATCH_TILE_T
+    codes = jnp.pad(codes, ((0, 0), (0, n_pad - n)), constant_values=trash)
+    codes = codes.reshape(codes.shape[0], -1, BATCH_TILE_T // CODE_ROWS)
+    out = histogram_pallas_batch(codes, k, use_int8, interpret)
+    g = out.shape[0]
+    return out.reshape(g, -1).astype(jnp.int32)
+
+
+_LINK_MBPS: float | None = None
+
+
+def link_bandwidth_mbps() -> float:
+    """Measured host->device transfer bandwidth (MB/s), probed once per
+    process with a ~4 MB incompressible buffer. The counting kernel needs
+    ~300 MB/s of packed bases to stay busy; on thin tunneled links the host
+    counter wins regardless of chip speed, so the auto backend gates on
+    this. Override with KF2VEC_LINK_MBPS."""
+    global _LINK_MBPS
+    if _LINK_MBPS is None:
+        env = os.environ.get("KF2VEC_LINK_MBPS")
+        if env:
+            _LINK_MBPS = float(env)
+            return _LINK_MBPS
+        import time
+
+        import jax
+
+        buf = np.random.default_rng(0x5EED).integers(0, 256, size=4 << 20).astype(np.uint8)
+        np.asarray(jax.device_put(buf[: 1 << 16])[:8])  # warm the path
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        np.asarray(dev[:8])  # forces the full transfer
+        dt = time.perf_counter() - t0
+        _LINK_MBPS = (buf.nbytes / 1e6) / max(dt, 1e-9)
+    return _LINK_MBPS
+
+
+_USE_INT8: bool | None = None  # resolved on first batched call
+
+
+def _resolve_int8() -> bool:
+    global _USE_INT8
+    if _USE_INT8 is None:
+        env = os.environ.get("KF2VEC_HIST_DTYPE", "")
+        _USE_INT8 = env != "bf16"
+    return _USE_INT8
+
+
+def _bucket_bases(n: int) -> int:
+    """Geometric padding bucket for genome length (bounds compile count)."""
+    size = PAD_QUANTUM
+    while size < n:
+        size *= 2
+    return size
+
+
+def count_canonical_device_batch_async(codes_list: list[np.ndarray], k: int) -> jax.Array:
+    """ONE dispatch for a batch of genomes: returns the (G, >=4^k) int32
+    device histogram array without syncing. All genomes must have
+    size <= MAX_BATCH_BASES (caller routes longer ones to the chunked
+    single-genome path)."""
+    global _USE_INT8
+    interpret = bool(os.environ.get("KF2VEC_PALLAS_INTERPRET"))
+    use_pallas = jax.default_backend() == "tpu" or interpret
+    length = _bucket_bases(max(c.size for c in codes_list))
+    # G pads to a power-of-2 bucket: compiled program shapes then depend on
+    # (k, L-bucket, G-bucket) only — a bounded set despite varying batch
+    # sizes (each new shape costs minutes on remote compile services; padded
+    # rows are all-invalid and count nothing)
+    g_real = len(codes_list)
+    g = 1
+    while g < g_real:
+        g *= 2
+    codes_list = list(codes_list) + [np.zeros(0, dtype=np.uint8)] * (g - g_real)
+    # rows are padded by MARKING the tail invalid (0xFF invalid bits) rather
+    # than materializing an INVALID-filled base array per genome — packing
+    # reads each genome in place (the 8 MB memset + copy per genome cost
+    # more host time than the packing itself)
+    packed = np.zeros((g, length // 4), dtype=np.uint8)
+    invb = np.full((g, length // 8), 0xFF, dtype=np.uint8)
+    for i, c in enumerate(codes_list):
+        p, ib, _ = pack_2bit(np.asarray(c, dtype=np.uint8))
+        packed[i, : p.size] = p
+        invb[i, : ib.size] = ib
+        if c.size % 8:
+            # pack_2bit padded the last partial byte-group with INVALID
+            # already; keep its inv bits, the rest of the row stays 0xFF
+            pass
+    packed_dev = jax.device_put(packed)
+    inv_dev = jax.device_put(invb)
+    if not use_pallas:
+        acc = jax.vmap(lambda p, i: _count_jit_scatter(p, i, k))(packed_dev, inv_dev)
+    else:
+        try:
+            acc = _count_batch_jit(packed_dev, inv_dev, k, _resolve_int8(), interpret)
+        except Exception:
+            if not _resolve_int8():
+                raise
+            # backend rejected int8 MXU matmuls: fall back to bf16/f32
+            _USE_INT8 = False
+            acc = _count_batch_jit(packed_dev, inv_dev, k, False, interpret)
+    try:  # start readback eagerly; the finalize fetch only waits for it
+        acc.copy_to_host_async()
+    except Exception:
+        pass
+    return acc
+
+
+def finalize_device_counts_batch_array(acc: jax.Array, k: int) -> list[np.ndarray]:
+    """Fetch a batched (G, >=4^k) histogram in ONE transfer."""
+    host = np.asarray(acc)
+    return [h[: 4**k].astype(np.int64) for h in host]

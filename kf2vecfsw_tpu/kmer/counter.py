@@ -101,9 +101,10 @@ class KmerCounter:
     # above this k the native per-thread histograms stop paying off
     max_native_k: int = 11
     # above this k the MXU one-hot histogram's O(4^k) per-window redundancy
-    # makes the device path pathological (measured: still wins at k=9,
-    # ~n_h x slower growth beyond) — auto prefers host there
-    max_device_k: int = 11
+    # makes the device path pathological — auto prefers host there (the
+    # batched int8 MXU path wins through k=9; k=10-11 remain reachable via
+    # KF2VEC_COUNT_BACKEND=tpu)
+    max_device_k: int = 9
 
     def __post_init__(self):
         self.vocab = canonical_vocab_codes(self.k) if self.k <= MAX_DENSE_K else None
@@ -130,13 +131,20 @@ class KmerCounter:
         if n_bases < self.min_device_bases:
             return False
         if self.k > self.max_device_k:
-            return False  # MXU histogram redundancy explodes beyond k=11
-        if self.k <= self.max_native_k and self._native() is not None:
-            return False  # native host counter wins at these sizes
+            return False  # MXU histogram redundancy explodes beyond k=9
+        # with a real accelerator attached, the batched one-dispatch MXU path
+        # beats the per-core host counter (~4.4 ms/5 Mb genome at k=7 on
+        # chip) — IF the host->device link can feed it. Thin tunneled links
+        # (tens of MB/s) bottleneck below the host counter's own speed, so
+        # the auto backend probes the link bandwidth once per process.
         try:
             import jax
 
-            return jax.default_backend() != "cpu"
+            if jax.default_backend() != "tpu":
+                return False
+            from ..kernels.histogram import link_bandwidth_mbps
+
+            return link_bandwidth_mbps() >= 100.0
         except Exception:
             return False
 
@@ -173,6 +181,43 @@ class KmerCounter:
             return ("device", count_canonical_device_async(codes, self.k))
         return ("host", self._host_count(codes))
 
+    def count_begin_batch(self, seqs_batch: list[list[np.ndarray]]) -> list:
+        """Batched begin: device-eligible genomes share ONE dispatch (one
+        transfer pair + one kernel launch + later one fetch for the whole
+        batch), which amortizes the per-call link/dispatch overheads that
+        dominate the single-genome path on remote chips. Host-path genomes
+        are counted individually as usual. Returns one token per genome, in
+        order, for count_finish_batch."""
+        from ..kernels.histogram import MAX_BATCH_BASES, count_canonical_device_batch_async
+
+        codes_all = [concat_with_separators(seqs, self.k) for seqs in seqs_batch]
+        dev_idx = [
+            i
+            for i, c in enumerate(codes_all)
+            if self.k >= 4 and c.size <= MAX_BATCH_BASES and self._use_device(c.size)
+        ]
+        tokens: list = [None] * len(codes_all)
+        if len(dev_idx) > 1:
+            acc = count_canonical_device_batch_async([codes_all[i] for i in dev_idx], self.k)
+            for slot, i in enumerate(dev_idx):
+                tokens[i] = ("devbatch", (acc, slot))
+        elif dev_idx:
+            from ..kernels.histogram import count_canonical_device_async
+
+            i = dev_idx[0]
+            tokens[i] = ("device", count_canonical_device_async(codes_all[i], self.k))
+        for i, c in enumerate(codes_all):
+            if tokens[i] is None:
+                if self._use_device(c.size) and self.k >= 4:
+                    # device-eligible but too long for the batch bucket:
+                    # chunked single-genome device path
+                    from ..kernels.histogram import count_canonical_device_async
+
+                    tokens[i] = ("device", count_canonical_device_async(c, self.k))
+                else:
+                    tokens[i] = ("host", self._host_count(c))
+        return tokens
+
     def count_finish(self, token) -> np.ndarray:
         kind, payload = token
         if kind == "device":
@@ -192,6 +237,19 @@ class KmerCounter:
             fetched = finalize_device_counts_batch([tokens[i][1] for i in dev_idx], self.k)
             for i, h in zip(dev_idx, fetched):
                 results[i] = h
+        # batched-dispatch tokens: fetch each shared (G, nbins) array once
+        batch_groups: dict[int, tuple] = {}
+        for i, (kind, payload) in enumerate(tokens):
+            if kind == "devbatch":
+                acc, slot = payload
+                batch_groups.setdefault(id(acc), (acc, []))[1].append((i, slot))
+        if batch_groups:
+            from ..kernels.histogram import finalize_device_counts_batch_array
+
+            for acc, members in batch_groups.values():
+                hists = finalize_device_counts_batch_array(acc, self.k)
+                for i, slot in members:
+                    results[i] = hists[slot]
         for i, (kind, payload) in enumerate(tokens):
             if kind == "host":
                 results[i] = payload

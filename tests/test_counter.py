@@ -154,3 +154,49 @@ def test_kmer_counter_feature_vector():
     vec = counter.feature_vector(seqs)
     assert vec.shape == (8192,)
     assert vec.sum() == 20 - 7 + 1
+
+
+def test_batched_dispatch_interpret_matches_numpy(monkeypatch):
+    """The multi-genome single-dispatch path (count_begin_batch +
+    count_finish_batch) under forced pallas interpret mode: per-genome
+    histograms from one (G, nbins) program match numpy exactly, including
+    mixed genome lengths and the bucket padding."""
+    monkeypatch.setenv("KF2VEC_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("KF2VEC_COUNT_BACKEND", "tpu")
+    from kf2vecfsw_tpu.kmer.counter import KmerCounter
+
+    rng = np.random.default_rng(6)
+    k = 7
+    seqs_batch = []
+    for n in (250_000, 300_001, 271_337):
+        seq = rng.choice(list(b"ACGTN"), size=n, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+        seqs_batch.append([encode_bases(seq.tobytes())])
+    counter = KmerCounter(k)
+    tokens = counter.count_begin_batch(seqs_batch)
+    assert sum(1 for kind, _ in tokens if kind == "devbatch") == 3
+    hists = counter.count_finish_batch(tokens)
+    for seqs, h in zip(seqs_batch, hists):
+        assert np.array_equal(h, count_canonical_numpy(seqs[0], k))
+
+
+def test_batched_dispatch_mixed_host_and_device(monkeypatch):
+    """Genomes below min_device_bases stay on the host path while the rest
+    share one device dispatch; results are ordered correctly."""
+    monkeypatch.setenv("KF2VEC_PALLAS_INTERPRET", "1")
+    from kf2vecfsw_tpu.kmer.counter import KmerCounter
+
+    rng = np.random.default_rng(7)
+    k = 5
+    big = [encode_bases(rng.choice(list(b"ACGT"), size=250_000).astype(np.uint8).tobytes())]
+    small = [encode_bases(rng.choice(list(b"ACGT"), size=1_000).astype(np.uint8).tobytes())]
+    counter = KmerCounter(k)
+    # size-dependent device eligibility like auto mode on a TPU host (the
+    # KF2VEC_COUNT_BACKEND=tpu override would force EVERY genome on-device)
+    counter._use_device = lambda n_bases: n_bases >= 100_000
+    tokens = counter.count_begin_batch([big, small, big])
+    kinds = [kind for kind, _ in tokens]
+    assert kinds[1] == "host" and kinds[0] in ("devbatch", "device")
+    hists = counter.count_finish_batch(tokens)
+    assert np.array_equal(hists[0], count_canonical_numpy(big[0], k))
+    assert np.array_equal(hists[1], count_canonical_numpy(small[0], k))
+    assert np.array_equal(hists[2], hists[0])

@@ -141,3 +141,16 @@ def test_native_pack2bit_matches_numpy(native):
         ref_inv = np.packbits(codes == 4, bitorder="little")
         assert np.array_equal(packed, ref_packed)
         assert np.array_equal(invbits, ref_inv)
+
+
+@pytest.mark.parametrize("k", [12, 13])
+def test_native_partitioned_count_matches_numpy(native, k):
+    """k >= 12 routes to the radix-partitioned counter (multithreaded, cache-
+    resident sub-histograms) instead of the old single-threaded fallback."""
+    rng = np.random.default_rng(2)
+    seq = rng.choice(list(b"ACGTN"), size=150_000, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+    codes = encode_bases(seq.tobytes())
+    ref = count_canonical_numpy(codes, k)
+    for threads in (1, 4):
+        got = native.count_canonical(codes, k, n_threads=threads)
+        assert np.array_equal(got, ref)
