@@ -47,10 +47,53 @@ def initialize_distributed() -> bool:
     return False
 
 
+def put_global(arr, sharding: NamedSharding):
+    """Place a host array under a global-mesh sharding, multi-process-safe.
+
+    Single-process: plain device_put. Multi-process: every process holds the
+    FULL array (replicated ingest — params, dense feature matrices) and
+    materializes only its addressable shards via make_array_from_callback;
+    a raw device_put with a non-fully-addressable sharding would throw."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def put_global_rows(local_rows, n_global_rows: int, sharding: NamedSharding):
+    """Assemble a leading-axis-sharded global array from this process's OWN
+    rows (each host stages only its slice — the multi-host batch/ingest
+    path). local_rows must be exactly this process's addressable rows in
+    device order; see jax.make_array_from_process_local_data."""
+    import numpy as np
+
+    local_rows = np.asarray(local_rows)
+    if jax.process_count() == 1:
+        return jax.device_put(local_rows, sharding)
+    global_shape = (n_global_rows,) + local_rows.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, local_rows, global_shape)
+
+
+def process_row_slice(n_rows: int, mesh: Mesh, axis: str = DATA_AXIS) -> slice:
+    """The contiguous [lo, hi) slice of a leading-axis-sharded (P(axis))
+    array that THIS process's devices own. Mesh axes are laid out with
+    process-local device blocks contiguous (make_mesh uses jax.devices()
+    order), so each process owns one contiguous row range."""
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return slice(0, n_rows)
+    per = n_rows // n_proc
+    p = jax.process_index()
+    return slice(p * per, (p + 1) * per if p < n_proc - 1 else n_rows)
+
+
 def shard_params(params, specs, mesh: Mesh):
-    """Place a parameter pytree according to per-leaf PartitionSpecs."""
+    """Place a parameter pytree according to per-leaf PartitionSpecs
+    (multi-process-safe: every process passes identical host values)."""
     return jax.tree.map(
-        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+        lambda p, s: put_global(p, NamedSharding(mesh, s)), params, specs
     )
 
 

@@ -1,0 +1,136 @@
+"""Multi-process (multi-host) training check.
+
+The scale-out contract (SURVEY.md §2.3/§7) is that the SAME mesh program
+runs from 1 chip to N hosts via jax.distributed.initialize. Real multi-host
+hardware cannot be assumed in CI, so this module runs the shipped
+DistanceEpochRunner training path over a REAL multi-process JAX runtime on
+CPU (2+ processes x 4 virtual devices each, gloo collectives) and verifies
+the losses match a single-process run of the same seed bit-for-bit.
+
+Run one worker per process:
+
+    python -m kf2vecfsw_tpu.parallel.mp_check <process_id> <num_processes> \
+        <coordinator addr:port> <out.json>
+
+Parent must set JAX_PLATFORMS=cpu and
+XLA_FLAGS=--xla_force_host_platform_device_count=<local devices>.
+All data staging goes through parallel.mesh.put_global /
+make_array_from_callback — a raw device_put with a non-fully-addressable
+sharding (the round-1 defect, train/chunks.py:539) would throw here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def run_worker(process_id: int, num_processes: int, coordinator: str, out_path: str | None):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.mlp import dist_embed_apply, dist_embed_specs, init_dist_embed
+    from ..train.step import DistanceEpochRunner, adam_init, lr_schedule_args
+    from .mesh import MODEL_AXIS, make_mesh, put_global, replicated, shard_params
+
+    key = jax.random.PRNGKey(0)
+    n_items, v, h, e, batch, span = 8, 64, 32, 16, 4, 6
+    mesh = make_mesh()  # all GLOBAL devices, data axis only
+
+    specs = dist_embed_specs(MODEL_AXIS)
+    # init on host so every process shards identical values
+    host_params = jax.tree.map(np.asarray, jax.device_get(init_dist_embed(key, v, h, e)))
+    params = shard_params(host_params, specs, mesh)
+    opt = adam_init(params)
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(n_items, v)).astype(np.float32)
+    dist = np.abs(rng.normal(size=(n_items, n_items))).astype(np.float32)
+    dist = dist + dist.T
+    np.fill_diagonal(dist, 0.0)
+
+    runner = DistanceEpochRunner(mesh, dist_embed_apply, specs, n_items, batch, donate=True)
+    nb = runner.n_bucket
+    feats_p = put_global(np.pad(feats, ((0, nb - n_items), (0, 0))), replicated(mesh))
+    dist_p = put_global(
+        np.pad(dist, ((0, nb - n_items), (0, nb - n_items))), replicated(mesh)
+    )
+    best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
+    params, opt, best, losses = runner.run_epoch_span(
+        params, opt, best, feats_p, dist_p, key, 0, span,
+        lr_schedule_args(1e-2, 3e-6, 2000.0),
+    )
+    lv = [float(x) for x in np.asarray(jax.device_get(losses))]
+    result = {
+        "process_id": process_id,
+        "num_processes": num_processes,
+        "global_devices": len(jax.devices()),
+        "losses": lv,
+        "best_epoch": int(best[2]),
+    }
+    if out_path and process_id == 0:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def launch(num_processes: int, local_devices: int = 4, timeout_s: float = 300.0) -> dict:
+    """Spawn num_processes workers (each with local_devices virtual CPU
+    devices) and return process 0's result dict."""
+    import socket
+    import subprocess
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    out = tempfile.mktemp(suffix=".json")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "kf2vecfsw_tpu.parallel.mp_check",
+             str(p), str(num_processes), coord, out],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for p in range(num_processes)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, logs):
+        if p.returncode != 0:
+            raise RuntimeError(f"mp_check worker failed:\n{text[-2000:]}")
+    with open(out) as f:
+        return json.load(f)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    pid, nproc, coord = int(argv[0]), int(argv[1]), argv[2]
+    out = argv[3] if len(argv) > 3 else None
+    run_worker(pid, nproc, coord, out)
+
+
+if __name__ == "__main__":
+    main()

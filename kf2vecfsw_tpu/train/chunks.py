@@ -169,12 +169,24 @@ class DeviceChunkStore:
     device budget — the host ChunkStore streaming path keeps those training.
     """
 
-    def __init__(self, matrices: list[np.ndarray], scaler: float = defaults.FEATURES_SCALER):
+    def __init__(
+        self,
+        matrices: list[np.ndarray],
+        scaler: float = defaults.FEATURES_SCALER,
+        mesh=None,
+    ):
         g = len(matrices)
         v = matrices[0].shape[1]
-        self.counts = np.array([m.shape[0] for m in matrices], dtype=np.int32)
+        n_data = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        self.sharded = n_data > 1
+        # genome axis padded to the data-axis multiple so the store shards
+        # evenly; padded rows are never drawn (the sampler only sees real
+        # genome indices)
+        g_pad = -(-g // n_data) * n_data if self.sharded else g
+        self.counts = np.ones(g_pad, dtype=np.int32)
+        self.counts[:g] = [m.shape[0] for m in matrices]
         cmax = int(self.counts.max())
-        prefix = np.zeros((g, cmax + 1, v), dtype=np.int32)
+        prefix = np.zeros((g_pad, cmax + 1, v), dtype=np.int32)
         for i, m in enumerate(matrices):
             ci = m.shape[0]
             p = np.cumsum(m.astype(np.int64), axis=0)
@@ -188,8 +200,19 @@ class DeviceChunkStore:
                 )
             prefix[i, 1 : ci + 1] = p
             prefix[i, ci + 1 :] = p[-1]
-        self.prefix = jax.device_put(prefix)
-        self.counts_dev = jax.device_put(self.counts)
+        if self.sharded:
+            # genome-dim sharding over 'data' lifts the per-device budget
+            # n_data-fold: each device holds G/n_data genomes' prefix sums;
+            # the sampler runs under shard_map and psums the batch together
+            from ..parallel.mesh import put_global
+
+            self.prefix = put_global(prefix, NamedSharding(mesh, P(DATA_AXIS)))
+            self.counts_dev = put_global(self.counts, NamedSharding(mesh, P()))
+        else:
+            self.prefix = jax.device_put(prefix)
+            self.counts_dev = jax.device_put(self.counts)
+        self.mesh = mesh
+        self.g_local = g_pad // n_data
         self.scaler = float(scaler)
 
     @staticmethod
@@ -198,9 +221,10 @@ class DeviceChunkStore:
         return len(matrices) * (cmax + 1) * matrices[0].shape[1] * 4
 
     @staticmethod
-    def fits(matrices: list[np.ndarray]) -> bool:
+    def fits(matrices: list[np.ndarray], mesh=None) -> bool:
         budget = int(os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET", 4 << 30))
-        if DeviceChunkStore.nbytes(matrices) > budget:
+        n_data = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        if DeviceChunkStore.nbytes(matrices) > budget * n_data:
             return False
         # int32 store + exact-int32 span normalization: per-genome totals
         # must stay below 2^31 (a >2G-k-mer genome streams from the host)
@@ -221,14 +245,14 @@ class DeviceChunkStore:
         )
 
 
-def _sample_chunk_span(prefix, counts, scaler, key, gi):
-    c = counts[gi]
+def _span_from_row(row, c, scaler, key):
+    """One normalized span vector from a genome's prefix rows (shared by the
+    replicated and sharded samplers so their math is identical)."""
     k1, k2, k3 = jax.random.split(key, 3)
     nrows = jnp.floor(jax.random.exponential(k1) * (c.astype(jnp.float32) / 5.0)).astype(jnp.int32) + 1
     alt = jax.random.randint(k2, (), 1, c + 1)
     nrows = jnp.where(nrows > c, alt, nrows)
     ix = jax.random.randint(k3, (), 0, c - nrows + 1)
-    row = prefix[gi]
     ivec = row[ix + nrows] - row[ix]
     # exact int32 sum (store construction guarantees totals < 2^31), matching
     # the host sampler's int64/f64 normalization to f32 rounding
@@ -237,12 +261,38 @@ def _sample_chunk_span(prefix, counts, scaler, key, gi):
     return jnp.where(total > 0, vec / total, 0.0) * scaler
 
 
+def _sample_chunk_span(prefix, counts, scaler, key, gi):
+    return _span_from_row(prefix[gi], counts[gi], scaler, key)
+
+
 def sample_chunk_batch(prefix, counts, scaler, key, genome_indices, draws: int):
     """Pure-function span sampler (buffers as args, jit-friendly)."""
     b = genome_indices.shape[0]
     keys = jax.random.split(key, b * draws)
     gis = jnp.repeat(genome_indices, draws)
     return jax.vmap(lambda k, g: _sample_chunk_span(prefix, counts, scaler, k, g))(keys, gis)
+
+
+def sample_chunk_batch_sharded(
+    prefix_local, counts, scaler, key, genome_indices, draws: int, g_local: int
+):
+    """shard_map body for the genome-sharded prefix store: each device
+    computes the span vectors for the batch genomes IT owns (same per-sample
+    keys as the replicated sampler, so results are bit-identical) and the
+    (B*draws, V) batch is assembled with one psum over 'data'."""
+    d = jax.lax.axis_index(DATA_AXIS)
+    b = genome_indices.shape[0]
+    keys = jax.random.split(key, b * draws)
+    gis = jnp.repeat(genome_indices, draws)
+
+    def one(k, gi):
+        owner = gi // g_local
+        li = jnp.where(owner == d, gi - owner * g_local, 0)
+        vec = _span_from_row(prefix_local[li], counts[gi], scaler, k)
+        return jnp.where(owner == d, vec, 0.0)
+
+    rows = jax.vmap(one)(keys, gis)
+    return jax.lax.psum(rows, DATA_AXIS)
 
 
 def make_chunked_span_runner(
@@ -284,6 +334,26 @@ def make_chunked_span_runner(
             return jax.lax.with_sharding_constraint(x, x_sharding)
         return x
 
+    if getattr(dstore, "sharded", False):
+        from .step import shard_map as _shard_map
+
+        g_local = dstore.g_local
+
+        def _sample(prefix, counts, key, gidx):
+            return _shard_map(
+                lambda pl, cl, k, gi: sample_chunk_batch_sharded(
+                    pl, cl, dstore.scaler, k, gi, draws, g_local
+                ),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(), P(), P()),
+                out_specs=P(),
+            )(prefix, counts, key, gidx)
+
+    else:
+
+        def _sample(prefix, counts, key, gidx):
+            return sample_chunk_batch(prefix, counts, dstore.scaler, key, gidx, draws)
+
     n_full = n_items // batch_size
     tail = n_items - n_full * batch_size
     batch_weights = jnp.asarray(
@@ -298,8 +368,8 @@ def make_chunked_span_runner(
             def body(carry, bi):
                 params, opt = carry
                 gidx = jax.lax.dynamic_slice_in_dim(perm, bi * batch_size, batch_size)
-                x = _shard_x(sample_chunk_batch(
-                    prefix, counts, dstore.scaler, jax.random.fold_in(key_e, 1 + bi), gidx, draws
+                x = _shard_x(_sample(
+                    prefix, counts, jax.random.fold_in(key_e, 1 + bi), gidx
                 ))
                 params, opt, aux = loss_and_grad_step(params, opt, x, gidx, lr, consts_v)
                 return (params, opt), aux
@@ -308,8 +378,8 @@ def make_chunked_span_runner(
             aux_parts.append(aux_full)
         if tail:
             gidx = perm[n_full * batch_size :]
-            x = sample_chunk_batch(
-                prefix, counts, dstore.scaler, jax.random.fold_in(key_e, 1 + n_full), gidx, draws
+            x = _sample(
+                prefix, counts, jax.random.fold_in(key_e, 1 + n_full), gidx
             )
             params, opt, aux_t = loss_and_grad_step(params, opt, x, gidx, lr, consts_v)
             aux_parts.append(jax.tree.map(lambda a: jnp.asarray(a)[None], aux_t))
@@ -347,6 +417,23 @@ def make_chunked_span_runner(
         )
 
     return run
+
+
+def stage_batch(x, mesh, x_sharding):
+    """Host batch -> device under the 'data' sharding, multi-process-safe.
+
+    Multi-process meshes cannot device_put a process-local array under a
+    global sharding (train/chunks round-1 defect); instead every process
+    samples the identical global batch (same seeded host RNG) and stages
+    only its own row slice via make_array_from_process_local_data."""
+    if x_sharding is None or x.shape[0] % mesh.shape[DATA_AXIS] != 0:
+        return x
+    if jax.process_count() == 1:
+        return jax.device_put(x, x_sharding)
+    from ..parallel.mesh import process_row_slice, put_global_rows
+
+    sl = process_row_slice(x.shape[0], mesh)
+    return put_global_rows(x[sl], x.shape[0], x_sharding)
 
 
 def _prefetch(batches_iter, depth: int = 2):
@@ -446,7 +533,7 @@ def train_model_set_chunks_func(
             log.info(f"Total parameters: {count_params(params)}")
 
             x_sharding = NamedSharding(mesh, P(DATA_AXIS))
-            dstore = DeviceChunkStore(store.matrices) if DeviceChunkStore.fits(store.matrices) else None
+            dstore = DeviceChunkStore(store.matrices, mesh=mesh) if DeviceChunkStore.fits(store.matrices, mesh) else None
             if dstore is not None:
                 log.info("Chunk store: device-resident prefix sums (sampling fused into the train step)")
             else:
@@ -577,7 +664,7 @@ def train_model_set_chunks_func(
                             yield gidx.astype(np.int32), x
 
                     for gidx, x in _prefetch(batches()):
-                        x_dev = jax.device_put(x, x_sharding) if x.shape[0] % mesh.shape[DATA_AXIS] == 0 else x
+                        x_dev = stage_batch(x, mesh, x_sharding)
                         params, opt, loss = step(params, opt, x_dev, gidx, jnp.float32(lr), dist_dev)
                         losses.append(loss)
 
@@ -707,7 +794,7 @@ def train_classifier_chunks_func(
             params, opt = adam_update(params, grads, opt, lr)
             return params, opt, loss, correct
 
-        dstore = DeviceChunkStore(store.matrices) if DeviceChunkStore.fits(store.matrices) else None
+        dstore = DeviceChunkStore(store.matrices, mesh=mesh) if DeviceChunkStore.fits(store.matrices, mesh) else None
         log.info(
             "Chunk store: device-resident prefix sums"
             if dstore is not None

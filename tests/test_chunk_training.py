@@ -234,3 +234,90 @@ def test_chunked_span_runner_multi_device_mesh(tmp_path):
         assert np.isfinite(results[name]).all()
     # same RNG stream, same math up to f32 reduce ordering
     assert np.allclose(results["1dev"], results["8dev"], rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_store_sampling_bit_identical():
+    """The genome-sharded prefix store's shard_map sampler must produce
+    bit-identical span vectors to the replicated sampler (same per-sample
+    keys, same math; only the gather+psum assembly differs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kf2vecfsw_tpu.parallel.mesh import make_mesh
+    from kf2vecfsw_tpu.train.chunks import (
+        DeviceChunkStore,
+        sample_chunk_batch,
+        sample_chunk_batch_sharded,
+    )
+    from kf2vecfsw_tpu.train.step import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(11)
+    mats = [rng.integers(0, 40, size=(5 + i, 32)).astype(np.uint16) for i in range(6)]
+    mesh = make_mesh(8, 1)
+    ds_sharded = DeviceChunkStore(mats, mesh=mesh)
+    ds_plain = DeviceChunkStore(mats)
+    assert ds_sharded.sharded and not ds_plain.sharded
+    key = jax.random.PRNGKey(3)
+    gidx = jnp.array([0, 5, 3, 2], jnp.int32)
+    plain = sample_chunk_batch(ds_plain.prefix, ds_plain.counts_dev, ds_plain.scaler, key, gidx, 2)
+    sharded = shard_map(
+        lambda pl, cl, k, gi: sample_chunk_batch_sharded(
+            pl, cl, ds_sharded.scaler, k, gi, 2, ds_sharded.g_local
+        ),
+        mesh=mesh,
+        in_specs=(P("data"), P(), P(), P()),
+        out_specs=P(),
+    )(ds_sharded.prefix, ds_sharded.counts_dev, key, gidx)
+    assert np.array_equal(np.asarray(plain), np.asarray(sharded))
+
+
+def test_sharded_store_lifts_device_budget(tmp_path, monkeypatch):
+    """A store too big for ONE device's budget trains via the device path
+    when sharded across the 8-device mesh (VERDICT #8: sharding lifts the
+    per-device budget n_data-fold)."""
+    import glob
+
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.train.chunks import DeviceChunkStore, train_model_set_chunks_func
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+    from kf2vecfsw_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    chunks_dir = tmp_path / "chunks"
+    full_dir = tmp_path / "full"
+    out_dir = tmp_path / "m"
+    for d in (chunks_dir, full_dir, out_dir):
+        d.mkdir()
+    names = [f"g{i}" for i in range(8)]
+    v, rows = 64, 6
+    for g in names:
+        mat = rng.integers(0, 50, size=(rows, v)).astype(np.float64)
+        write_kf(str(chunks_dir / f"{g}.kf"),
+                 [(f"{g}.part_{r}", mat[r]) for r in range(rows)])
+        fv = mat.sum(axis=0)
+        write_kf(str(full_dir / f"{g}.kf"), [(g, fv / fv.sum())])
+    with open(tmp_path / "t.subtrees", "w") as f:
+        f.write("genome clade\n" + "".join(f"{g} 0\n" for g in names))
+    d = np.abs(rng.normal(size=(8, 8)))
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+    write_di_mtrx(str(tmp_path / "t_subtree_0.di_mtrx"), names, d)
+
+    # budget below the full store size but above 1/8th of it
+    nbytes = DeviceChunkStore.nbytes([m.astype(np.uint16) for m in
+                                      [rng.integers(0, 50, size=(rows, v))] * 8])
+    monkeypatch.setenv("KF2VEC_CHUNK_DEVICE_BUDGET", str(max(nbytes // 4, 1)))
+    mesh = make_mesh(8, 1)
+    mats = [rng.integers(0, 50, size=(rows, v)).astype(np.uint16) for _ in range(8)]
+    assert not DeviceChunkStore.fits(mats, None)
+    assert DeviceChunkStore.fits(mats, mesh)
+
+    files = sorted(glob.glob(str(chunks_dir / "*.kf")))
+    train_model_set_chunks_func(
+        str(chunks_dir), str(full_dir), files, str(tmp_path / "t.subtrees"),
+        str(tmp_path), 4, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28, False,
+        str(out_dir), mesh=mesh, log_every=10,
+    )
+    log = sorted(glob.glob(str(out_dir / "train_model_*.log")))[0]
+    assert "device-resident prefix sums" in open(log).read()
