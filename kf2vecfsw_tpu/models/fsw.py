@@ -85,12 +85,17 @@ def init_fsw_params(key, d_in: int, d_out: int):
     return {"slices": slices.astype(jnp.float32), "freqs": freqs}
 
 
-def fsw_embed(fsw_params, points, weights, slice_chunk: int = 128):
+def fsw_embed(fsw_params, points, weights, slice_chunk: int = 0):
     """FSW embedding of one weighted point set.
 
     points: (N, d_in), weights: (N,) nonnegative (zeros = padding).
     Returns (d_out,). Memory is bounded by chunking over slices
-    (the analogue of fswlib's max_parallel_slices, models.py:64).
+    (the analogue of fswlib's max_parallel_slices, models.py:64);
+    slice_chunk=0 means unchunked — ONE batched minor-axis sort over all
+    d_out slices, which is ~4x faster than serializing chunks through
+    lax.map (the round-1 default of 128 cost 143 ms/step at B=16, N=8192).
+    Callers with large N x d_out products pass an explicit chunk
+    (see fsw_dist_embed_apply's memory-budget heuristic).
 
     TPU layout: projections are (C, N) so the per-slice sort runs along the
     MINOR axis, and weights ride along as a second lax.sort operand instead
@@ -114,7 +119,7 @@ def fsw_embed(fsw_params, points, weights, slice_chunk: int = 128):
         )
         return jnp.sum(ps * delta, axis=-1)  # (C,)
 
-    if d_out <= slice_chunk:
+    if slice_chunk <= 0 or d_out <= slice_chunk:
         return chunk_fn((slices, freqs))
     n_chunks = -(-d_out // slice_chunk)
     pad = n_chunks * slice_chunk - d_out
@@ -140,15 +145,39 @@ def init_fsw_dist_embed(
     }
 
 
-def fsw_dist_embed_apply(params, X, model_axis: str | None = None, slice_chunk: int = 128):
+# transient budget for the batched FSW sort: the sort's fwd+bwd carries ~4
+# (B, C, N) f32 arrays (projections, weights, perm, cotangents); cap their
+# footprint so giant clades (k=9 point sets, N~131072) still fit HBM
+FSW_SORT_BUDGET_BYTES = 2 << 30
+
+
+def _auto_slice_chunk(b: int, n: int, d_out: int) -> int:
+    per_slice = 4 * b * n * 4  # 4 f32-sized (B, 1, N) buffers per slice
+    chunk = max(32, FSW_SORT_BUDGET_BYTES // max(per_slice, 1))
+    if chunk >= d_out:
+        return 0  # unchunked: one fused sort over all slices
+    # power-of-2 bucket so recompiles stay bounded across clades
+    p = 32
+    while p * 2 <= chunk:
+        p *= 2
+    return p
+
+
+def fsw_dist_embed_apply(params, X, model_axis: str | None = None, slice_chunk: int | None = None):
     """Forward pass (models.py:60-68). X: (B, N, k+1) — integer-coded bases
     in the first k columns (A=0,T=1,C=2,G=3), frequency weight in the last.
-    Zero-padded rows carry weight 0 and do not affect the embedding."""
+    Zero-padded rows carry weight 0 and do not affect the embedding.
+
+    slice_chunk=None picks the largest chunk (usually: no chunking — one
+    fused batched sort) that keeps the sort transients under
+    FSW_SORT_BUDGET_BYTES."""
     kmers = X[..., :-1].astype(jnp.int32)
     weights = X[..., -1]
     B, N, k = kmers.shape
     base_embed = params["lookup"][kmers].reshape(B, N, -1)
 
+    if slice_chunk is None:
+        slice_chunk = _auto_slice_chunk(B, N, int(params["fsw"]["slices"].shape[0]))
     embed_one = functools.partial(fsw_embed, params["fsw"], slice_chunk=slice_chunk)
     fsw_out = jax.vmap(embed_one)(base_embed, weights)  # (B, d_out)
 
