@@ -83,6 +83,75 @@ def run_worker(process_id: int, num_processes: int, coordinator: str, out_path: 
     return result
 
 
+def run_worker_chunks(
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+):
+    """Chunked distance trainer over a multi-process mesh, exercising the
+    per-process sliced ingest + process-sharded prefix store path."""
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    from ..train.chunks import train_model_set_chunks_func
+    from .mesh import make_mesh
+
+    files = sorted(glob.glob(os.path.join(fixture_dir, "chunks", "*.kf")))
+    train_model_set_chunks_func(
+        os.path.join(fixture_dir, "chunks"),
+        os.path.join(fixture_dir, "full"),
+        files,
+        os.path.join(fixture_dir, "t.subtrees"),
+        fixture_dir,
+        6, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28, False,
+        out_dir,
+        mesh=make_mesh(),
+        log_every=10,
+        autosave_every=0,
+    )
+
+
+def launch_chunks(
+    num_processes: int, fixture_dir: str, out_dir: str, local_devices: int = 4,
+    timeout_s: float = 600.0,
+):
+    """Spawn chunked-trainer workers; the checkpoint lands in out_dir."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "kf2vecfsw_tpu.parallel.mp_check", "chunks",
+             str(p), str(num_processes), coord, fixture_dir, out_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in range(num_processes)
+    ]
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"mp_check chunks worker failed:\n{stdout.decode(errors='replace')[-3000:]}"
+            )
+
+
 def launch(num_processes: int, local_devices: int = 4, timeout_s: float = 300.0) -> dict:
     """Spawn num_processes workers (each with local_devices virtual CPU
     devices) and return process 0's result dict."""
@@ -127,6 +196,9 @@ def launch(num_processes: int, local_devices: int = 4, timeout_s: float = 300.0)
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "chunks":
+        run_worker_chunks(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
     pid, nproc, coord = int(argv[0]), int(argv[1]), argv[2]
     out = argv[3] if len(argv) > 3 else None
     run_worker(pid, nproc, coord, out)

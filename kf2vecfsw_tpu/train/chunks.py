@@ -230,6 +230,52 @@ class DeviceChunkStore:
         # must stay below 2^31 (a >2G-k-mer genome streams from the host)
         return all(int(m.sum(dtype=np.int64)) < 2**31 for m in matrices)
 
+    @classmethod
+    def build_process_sharded(
+        cls,
+        local_matrices: list[np.ndarray],
+        counts_global: np.ndarray,
+        input_size: int,
+        mesh,
+        scaler: float = defaults.FEATURES_SCALER,
+    ):
+        """Multi-HOST store assembly: each process supplies only the chunk
+        matrices for the contiguous genome range its devices own (SURVEY §7
+        "each host reads its slice"); counts_global (padded length, pad rows
+        = 1) comes from a process_allgather. The global (G_pad, Cmax+1, V)
+        prefix array is assembled shard-by-shard via
+        make_array_from_process_local_data — no process ever materializes
+        other hosts' genomes."""
+        from ..parallel.mesh import put_global, put_global_rows
+
+        self = cls.__new__(cls)
+        g_pad = int(counts_global.shape[0])
+        n_data = mesh.shape[DATA_AXIS]
+        self.sharded = True
+        self.mesh = mesh
+        self.counts = np.asarray(counts_global, dtype=np.int32)
+        cmax = int(self.counts.max())
+        n_proc = jax.process_count()
+        rows_local = g_pad // n_proc
+        local_prefix = np.zeros((rows_local, cmax + 1, input_size), dtype=np.int32)
+        for i, m in enumerate(local_matrices):
+            ci = m.shape[0]
+            p = np.cumsum(m.astype(np.int64), axis=0)
+            if int(p[-1].sum()) >= 2**31:
+                raise OverflowError(
+                    f"local genome {i}: total chunk count overflows the int32 "
+                    "device prefix store; use the host ChunkStore path"
+                )
+            local_prefix[i, 1 : ci + 1] = p
+            local_prefix[i, ci + 1 :] = p[-1]
+        self.prefix = put_global_rows(
+            local_prefix, g_pad, NamedSharding(mesh, P(DATA_AXIS))
+        )
+        self.counts_dev = put_global(self.counts, NamedSharding(mesh, P()))
+        self.g_local = g_pad // n_data
+        self.scaler = float(scaler)
+        return self
+
     def _sample_one(self, key, gi):
         return _sample_chunk_span(self.prefix, self.counts_dev, self.scaler, key, gi)
 
@@ -419,6 +465,59 @@ def make_chunked_span_runner(
     return run
 
 
+def stage_replicated(x, mesh):
+    """Replicated device staging that also works on a multi-process mesh
+    (raw device_put would place on this process's devices only)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x)
+    from ..parallel.mesh import put_global, replicated
+
+    return jax.tree.map(lambda a: put_global(jax.device_get(a), replicated(mesh)), x)
+
+
+def load_chunk_store_process_sliced(kf_paths: list[str], mesh, cap: bool):
+    """Multi-host chunk ingest: THIS process reads only the chunk `.kf`
+    files for the contiguous genome range its devices own; per-genome chunk
+    counts and the feature width are exchanged with process_allgather.
+    Returns (local_matrices, counts_global, input_size) for
+    DeviceChunkStore.build_process_sharded, or None when the layout does not
+    divide evenly (callers fall back to full replicated ingest)."""
+    from jax.experimental import multihost_utils
+
+    from ..io.kf import read_kf
+
+    n_proc = jax.process_count()
+    n_data = mesh.shape[DATA_AXIS]
+    g = len(kf_paths)
+    g_pad = -(-g // n_data) * n_data
+    if n_proc == 1 or g_pad % n_proc or n_data % n_proc:
+        return None
+    per = g_pad // n_proc
+    p = jax.process_index()
+    lo, hi = p * per, min((p + 1) * per, g)
+
+    def load(path):
+        _, mat = read_kf(path)
+        return np.minimum(mat, 255).astype(np.uint8) if cap else mat.astype(np.uint16)
+
+    local = [load(q) for q in kf_paths[lo:hi]]
+    local_counts = np.ones(per, dtype=np.int32)
+    local_counts[: len(local)] = [m.shape[0] for m in local]
+    local_v = np.array([local[0].shape[1] if local else 0], dtype=np.int32)
+    all_counts = np.asarray(multihost_utils.process_allgather(local_counts))
+    all_v = np.asarray(multihost_utils.process_allgather(local_v))
+    input_size = int(all_v.max())
+    return local, all_counts.reshape(-1), input_size
+
+
+def sharded_store_fits(counts_global: np.ndarray, input_size: int, mesh) -> bool:
+    budget = int(os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET", 4 << 30))
+    n_data = mesh.shape[DATA_AXIS]
+    cmax = int(np.max(counts_global))
+    nbytes = int(counts_global.shape[0]) * (cmax + 1) * input_size * 4
+    return nbytes <= budget * n_data
+
+
 def stage_batch(x, mesh, x_sharding):
     """Host batch -> device under the 'data' sharding, multi-process-safe.
 
@@ -519,21 +618,46 @@ def train_model_set_chunks_func(
             log.info(f"\n==> Working on subtree {c}...\n")
             clade_genomes = {g for g, cl in rows if cl == c}
             backbone_names = [g for g in avail if g in clade_genomes]
-            store = ChunkStore([avail[g] for g in backbone_names], cap=cap_data)
-            input_size = store.input_size
+            clade_paths = [avail[g] for g in backbone_names]
+
+            # multi-host ingest: each process reads only its genome slice and
+            # the prefix store assembles sharded (SURVEY §7); falls back to
+            # full replicated ingest when the sliced layout does not apply
+            store = None
+            dstore_presliced = None
+            sliced = load_chunk_store_process_sliced(clade_paths, mesh, cap_data)
+            if sliced is not None:
+                local_mats, counts_global, input_size = sliced
+                if sharded_store_fits(counts_global, input_size, mesh):
+                    dstore_presliced = DeviceChunkStore.build_process_sharded(
+                        local_mats, counts_global, input_size, mesh
+                    )
+                    log.info("Chunk ingest: per-process genome slices (multi-host)")
+            if dstore_presliced is None:
+                store = ChunkStore(clade_paths, cap=cap_data)
+                input_size = store.input_size
             n_items = len(backbone_names)
             log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
             _check_fullgenome_width(input_dir_fullgenomes, backbone_names, input_size)
 
             dist = load_subtree_dist(true_dist_dir, c, backbone_names).astype(F32)
-            dist_dev = jax.device_put(dist)
+            dist_dev = stage_replicated(dist, mesh)
 
-            params = init_dist_embed(key, input_size, hidden_size, embedding_size)
+            params = stage_replicated(
+                init_dist_embed(key, input_size, hidden_size, embedding_size), mesh
+            )
             opt = adam_init(params)
             log.info(f"Total parameters: {count_params(params)}")
 
             x_sharding = NamedSharding(mesh, P(DATA_AXIS))
-            dstore = DeviceChunkStore(store.matrices, mesh=mesh) if DeviceChunkStore.fits(store.matrices, mesh) else None
+            if dstore_presliced is not None:
+                dstore = dstore_presliced
+            else:
+                dstore = (
+                    DeviceChunkStore(store.matrices, mesh=mesh)
+                    if DeviceChunkStore.fits(store.matrices, mesh)
+                    else None
+                )
             if dstore is not None:
                 log.info("Chunk store: device-resident prefix sums (sampling fused into the train step)")
             else:

@@ -33,3 +33,60 @@ def test_two_process_training_matches_single_process():
     )
     assert multi["best_epoch"] == single["best_epoch"]
     assert np.isfinite(multi["losses"]).all()
+
+
+def test_two_process_chunked_trainer_sliced_ingest(tmp_path):
+    """The chunked distance trainer over a 2-process mesh: each process
+    ingests only its genome slice (process-sharded prefix store) and the
+    trained checkpoint matches a single-process run of the same seed."""
+    import glob
+    import os
+
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.parallel.mp_check import launch_chunks
+    from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    rng = np.random.default_rng(9)
+    fixture = tmp_path / "fix"
+    (fixture / "chunks").mkdir(parents=True)
+    (fixture / "full").mkdir()
+    names = [f"g{i}" for i in range(8)]
+    for g in names:
+        mat = rng.integers(0, 50, size=(6, 32)).astype(np.float64)
+        write_kf(str(fixture / "chunks" / f"{g}.kf"),
+                 [(f"{g}.part_{r}", mat[r]) for r in range(6)])
+        fv = mat.sum(axis=0)
+        write_kf(str(fixture / "full" / f"{g}.kf"), [(g, fv / fv.sum())])
+    (fixture / "t.subtrees").write_text(
+        "genome clade\n" + "".join(f"{g} 0\n" for g in names)
+    )
+    d = np.abs(rng.normal(size=(8, 8)))
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+    write_di_mtrx(str(fixture / "t_subtree_0.di_mtrx"), names, d)
+
+    out1 = tmp_path / "o1"
+    out2 = tmp_path / "o2"
+    out1.mkdir(), out2.mkdir()
+    try:
+        launch_chunks(1, str(fixture), str(out1), local_devices=8)
+        launch_chunks(2, str(fixture), str(out2), local_devices=4)
+    except RuntimeError as e:
+        if "collectives" in str(e).lower() or "gloo" in str(e).lower():
+            pytest.skip(f"CPU cross-process collectives unavailable: {e}")
+        raise
+    # sliced ingest actually engaged in the 2-process run
+    logs = sorted(glob.glob(str(out2 / "train_model_*.log")))
+    assert any("per-process genome slices" in open(l).read() for l in logs)
+    _, meta1, p1 = load_checkpoint(str(out1 / "model_subtree_0.ckpt"))
+    _, meta2, p2 = load_checkpoint(str(out2 / "model_subtree_0.ckpt"))
+    assert meta1["best_epoch"] == meta2["best_epoch"]
+    assert np.isclose(meta1["lowest_loss"], meta2["lowest_loss"], rtol=1e-2)
+    import jax
+
+    # Adam's rsqrt amplifies cross-process psum reduction-order noise on
+    # near-zero second moments; the per-leaf check is therefore loose — the
+    # sharp equalities above (best_epoch, lowest_loss) carry the parity
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4)
