@@ -199,3 +199,21 @@ def test_kf_byte_parity_test_goldens(toy, tmp_path):
         golden = os.path.join(toy, "test_kf", os.path.basename(w))
         if os.path.exists(golden):
             assert open(w, "rb").read() == open(golden, "rb").read(), w
+
+
+def test_kf_byte_parity_device_backend_interpret(toy, tmp_path, monkeypatch):
+    """The DEVICE counting path (forced tpu backend, pallas interpret mode)
+    emits byte-identical .kf goldens through get_frequencies — locks the
+    batched-dispatch kernel's counts, bucket padding and vocab fold without
+    TPU hardware (the real-chip equivalent is driven via the CLI)."""
+    monkeypatch.setenv("KF2VEC_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("KF2VEC_COUNT_BACKEND", "tpu")
+    out = str(tmp_path)
+    written = get_frequencies(os.path.join(toy, "train_tree_fna"), out, k=7)
+    checked = 0
+    for w in written:
+        golden = os.path.join(toy, "train_tree_kf", os.path.basename(w))
+        if os.path.exists(golden):
+            assert open(w, "rb").read() == open(golden, "rb").read(), w
+            checked += 1
+    assert checked >= 4
