@@ -264,7 +264,41 @@ def bench_serving() -> dict:
         classify_func(qdir, files, mdir, 28, odir)
         query_func(qdir, files, mdir, odir, 28, odir)
         dt = time.perf_counter() - t0
-    return {"serving_queries_per_s": round(nq / dt, 1)}
+
+        # on-chip serving: classify forward + query embed + cdist^2 with
+        # device-resident inputs (what a PCIe host's serving loop is bound
+        # by; the e2e number above includes this rig's tunnel RTTs and the
+        # host-side text parse/format)
+        import jax as _jax
+
+        from kf2vecfsw_tpu.models.mlp import classifier_apply, dist_embed_apply
+        from kf2vecfsw_tpu.ops.pairwise import cdist_exact_blocked, squared_clamped
+        from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+
+        _, _, cls_p = load_checkpoint(os.path.join(mdir, "classifier_model.ckpt"))
+        _, _, dst_p = load_checkpoint(os.path.join(mdir, "model_subtree_0.ckpt"))
+        x_dev = _jax.device_put(rng.random((nq, v)).astype(np.float32))
+        emb_dev = _jax.device_put(emb)
+        cls_p = _jax.device_put(cls_p)
+        dst_p = _jax.device_put(dst_p)
+
+        @_jax.jit
+        def serve(cp, dp, x, anchors):
+            probs = jnp.exp(classifier_apply(cp, x))
+            out = dist_embed_apply(dp, x)
+            d2 = squared_clamped(cdist_exact_blocked(out, anchors))
+            return probs.argmax(axis=1), d2
+
+        np.asarray(serve(cls_p, dst_p, x_dev, emb_dev)[1][:1, :4])  # warm
+        dt_chip = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(serve(cls_p, dst_p, x_dev, emb_dev)[1][:1, :4])
+            dt_chip = min(dt_chip, time.perf_counter() - t0)
+    return {
+        "serving_queries_per_s": round(nq / dt, 1),
+        "serving_onchip_queries_per_s": round(nq / dt_chip, 1),
+    }
 
 
 def main():
