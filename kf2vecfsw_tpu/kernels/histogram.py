@@ -450,13 +450,11 @@ def count_canonical_device_batch_async(codes_list: list[np.ndarray], k: int) -> 
     packed = np.zeros((g, length // 4), dtype=np.uint8)
     invb = np.full((g, length // 8), 0xFF, dtype=np.uint8)
     for i, c in enumerate(codes_list):
+        # pack_2bit pads the last partial byte-group with INVALID itself;
+        # the rest of the row stays packed=0 under 0xFF invalid bits
         p, ib, _ = pack_2bit(np.asarray(c, dtype=np.uint8))
         packed[i, : p.size] = p
         invb[i, : ib.size] = ib
-        if c.size % 8:
-            # pack_2bit padded the last partial byte-group with INVALID
-            # already; keep its inv bits, the rest of the row stays 0xFF
-            pass
     packed_dev = jax.device_put(packed)
     inv_dev = jax.device_put(invb)
     if not use_pallas:

@@ -188,7 +188,11 @@ class KmerCounter:
         dominate the single-genome path on remote chips. Host-path genomes
         are counted individually as usual. Returns one token per genome, in
         order, for count_finish_batch."""
-        from ..kernels.histogram import MAX_BATCH_BASES, count_canonical_device_batch_async
+        from ..kernels.histogram import (
+            MAX_BATCH_BASES,
+            _bucket_bases,
+            count_canonical_device_batch_async,
+        )
 
         codes_all = [concat_with_separators(seqs, self.k) for seqs in seqs_batch]
         dev_idx = [
@@ -197,15 +201,24 @@ class KmerCounter:
             if self.k >= 4 and c.size <= MAX_BATCH_BASES and self._use_device(c.size)
         ]
         tokens: list = [None] * len(codes_all)
-        if len(dev_idx) > 1:
-            acc = count_canonical_device_batch_async([codes_all[i] for i in dev_idx], self.k)
-            for slot, i in enumerate(dev_idx):
-                tokens[i] = ("devbatch", (acc, slot))
-        elif dev_idx:
-            from ..kernels.histogram import count_canonical_device_async
+        # group by length bucket: one mixed batch would pad EVERY genome to
+        # the longest one's bucket, inflating transfer bytes on the thin
+        # links this path is gated for (one dispatch per bucket instead)
+        by_bucket: dict[int, list[int]] = {}
+        for i in dev_idx:
+            by_bucket.setdefault(_bucket_bases(codes_all[i].size), []).append(i)
+        for group in by_bucket.values():
+            if len(group) > 1:
+                acc = count_canonical_device_batch_async(
+                    [codes_all[i] for i in group], self.k
+                )
+                for slot, i in enumerate(group):
+                    tokens[i] = ("devbatch", (acc, slot))
+            else:
+                from ..kernels.histogram import count_canonical_device_async
 
-            i = dev_idx[0]
-            tokens[i] = ("device", count_canonical_device_async(codes_all[i], self.k))
+                i = group[0]
+                tokens[i] = ("device", count_canonical_device_async(codes_all[i], self.k))
         for i, c in enumerate(codes_all):
             if tokens[i] is None:
                 if self._use_device(c.size) and self.k >= 4:

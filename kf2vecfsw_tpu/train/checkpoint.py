@@ -48,6 +48,13 @@ def _unflatten(flat: dict):
 
 
 def save_checkpoint(path: str, model_name: str, meta: dict, params) -> None:
+    # multi-process: only the coordinator writes — every process holds the
+    # same (replicated) params, and concurrent identical writes through the
+    # same path+'.tmp' race on os.replace
+    from .resume import is_coordinator
+
+    if not is_coordinator():
+        return
     params = jax.device_get(params)
     flat = _flatten(params)
     full_meta = {"model_name": model_name, **meta}

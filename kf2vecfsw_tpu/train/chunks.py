@@ -504,18 +504,29 @@ def load_chunk_store_process_sliced(kf_paths: list[str], mesh, cap: bool):
     local_counts = np.ones(per, dtype=np.int32)
     local_counts[: len(local)] = [m.shape[0] for m in local]
     local_v = np.array([local[0].shape[1] if local else 0], dtype=np.int32)
+    # per-genome TOTAL counts as f64 (exact < 2^53): the int32 prefix store
+    # cannot hold genomes whose totals reach 2^31
+    local_totals = np.zeros(per, dtype=np.float64)
+    local_totals[: len(local)] = [float(m.sum(dtype=np.int64)) for m in local]
     all_counts = np.asarray(multihost_utils.process_allgather(local_counts))
     all_v = np.asarray(multihost_utils.process_allgather(local_v))
+    all_totals = np.asarray(multihost_utils.process_allgather(local_totals))
     input_size = int(all_v.max())
-    return local, all_counts.reshape(-1), input_size
+    return local, all_counts.reshape(-1), input_size, all_totals.reshape(-1)
 
 
-def sharded_store_fits(counts_global: np.ndarray, input_size: int, mesh) -> bool:
+def sharded_store_fits(
+    counts_global: np.ndarray, input_size: int, mesh, totals_global=None
+) -> bool:
     budget = int(os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET", 4 << 30))
     n_data = mesh.shape[DATA_AXIS]
     cmax = int(np.max(counts_global))
     nbytes = int(counts_global.shape[0]) * (cmax + 1) * input_size * 4
-    return nbytes <= budget * n_data
+    if nbytes > budget * n_data:
+        return False
+    # same int32 guard as DeviceChunkStore.fits: oversized genomes must fall
+    # back to the host ChunkStore instead of raising in build_process_sharded
+    return totals_global is None or bool(np.all(totals_global < 2**31))
 
 
 def stage_batch(x, mesh, x_sharding):
@@ -627,8 +638,8 @@ def train_model_set_chunks_func(
             dstore_presliced = None
             sliced = load_chunk_store_process_sliced(clade_paths, mesh, cap_data)
             if sliced is not None:
-                local_mats, counts_global, input_size = sliced
-                if sharded_store_fits(counts_global, input_size, mesh):
+                local_mats, counts_global, input_size, totals_global = sliced
+                if sharded_store_fits(counts_global, input_size, mesh, totals_global):
                     dstore_presliced = DeviceChunkStore.build_process_sharded(
                         local_mats, counts_global, input_size, mesh
                     )
@@ -698,7 +709,7 @@ def train_model_set_chunks_func(
             if resume:
                 from .resume import restore_trainer_state
 
-                state = restore_trainer_state(state_path, params, log)
+                state = restore_trainer_state(state_path, params, log, mesh=mesh)
                 if state is not None:
                     start_epoch, params, opt, best_params, lowest, best_epoch, _ = state
             meta = {
@@ -765,11 +776,18 @@ def train_model_set_chunks_func(
                     lv = np.asarray(jax.device_get(loss_mat), dtype=np.float64)
                     for i in range(span):
                         account_epoch(epoch0 + i, lv[i])
-                    if autosave_every:
+                    end_epoch = epoch0 + span - 1
+                    # save only at autosave boundaries / the final epoch:
+                    # spans can be much shorter than autosave_every and a
+                    # per-span save would multiply checkpoint I/O ~17x
+                    if autosave_every and (
+                        (end_epoch + 1) % autosave_every == 0
+                        or end_epoch == num_epochs - 1
+                    ):
                         from .resume import save_trainer_state
 
                         save_trainer_state(
-                            state_path, epoch0 + span - 1, params, opt, best[0],
+                            state_path, end_epoch, params, opt, best[0],
                             float(best[1]), int(best[2]),
                         )
                 # the device comparison decided which params were kept — use
@@ -939,7 +957,7 @@ def train_classifier_chunks_func(
         if resume:
             from .resume import restore_trainer_state
 
-            state = restore_trainer_state(state_path, params, log)
+            state = restore_trainer_state(state_path, params, log, mesh=mesh)
             if state is not None:
                 start_epoch, params, opt, best_params, lowest, best_epoch, extra = state
                 highest_acc = float(extra.get("acc_at_best", -1.0))
@@ -988,11 +1006,14 @@ def train_classifier_chunks_func(
                 for i in range(span):
                     _, acc = account_epoch(epoch0 + i, lv[i], cv[i])
                     acc_by_epoch[epoch0 + i] = acc
-                if autosave_every:
+                end_epoch = epoch0 + span - 1
+                if autosave_every and (
+                    (end_epoch + 1) % autosave_every == 0 or end_epoch == num_epochs - 1
+                ):
                     from .resume import save_trainer_state
 
                     save_trainer_state(
-                        state_path, epoch0 + span - 1, params, opt, best[0],
+                        state_path, end_epoch, params, opt, best[0],
                         float(best[1]), int(best[2]),
                         extra={"acc_at_best": acc_by_epoch.get(int(best[2]), resumed_acc)},
                     )

@@ -63,7 +63,12 @@ def write_classes_table(
 ) -> None:
     """classes.out / backbone_classes.out writer (TSV; top_class rendered as a
     float to match the reference's np.hstack of floats,
-    train_classifier_model.py:496-506, classify.py:96-124)."""
+    train_classifier_model.py:496-506, classify.py:96-124). Multi-process:
+    coordinator-only (concurrent identical writes race)."""
+    from .resume import is_coordinator
+
+    if not is_coordinator():
+        return
     top_class = probs.argmax(axis=1)
     top_p = probs.max(axis=1)
     with open(path, "w") as f:
@@ -192,7 +197,7 @@ def _train(
     if resume:
         from .resume import restore_trainer_state
 
-        state = restore_trainer_state(state_path, params, log)
+        state = restore_trainer_state(state_path, params, log, mesh=mesh)
         if state is not None:
             start_epoch, params, opt, best_params0, lowest0, best_epoch0, extra = state
             acc0 = float(extra.get("highest_acc", -1.0))
@@ -221,11 +226,14 @@ def _train(
                     f"Time: {hrs:02d}:{m:02d}:{s:02d}"
                 )
                 log.info(f"Epoch {epoch + 1}\t \x20\x20LR:{step_lr(epoch, lr0, lr_min, lr_decay):.20f}")
-        if autosave_every:
+        end_epoch = epoch0 + span - 1
+        if autosave_every and (
+            (end_epoch + 1) % autosave_every == 0 or end_epoch == num_epochs - 1
+        ):
             from .resume import save_trainer_state
 
             save_trainer_state(
-                state_path, epoch0 + span - 1, params, opt, best[0],
+                state_path, end_epoch, params, opt, best[0],
                 float(best[1]), int(best[3]), extra={"highest_acc": float(best[2])},
             )
     best_params, lowest_loss, highest_acc, best_epoch = (

@@ -101,7 +101,14 @@ def export_embeddings(
 ) -> np.ndarray:
     """Embed the full backbone; write distortions_subtree_{c}.csv (squared,
     <1e-6 clamped to 0) and embeddings_subtree_{c}.csv
-    (train_model_set.py:602-643). Returns the embeddings."""
+    (train_model_set.py:602-643). Returns the embeddings.
+
+    Multi-process: only the coordinator computes + writes (params are
+    replicated; concurrent identical writes race)."""
+    from .resume import is_coordinator
+
+    if not is_coordinator():
+        return None
     outputs = np.asarray(jax.jit(lambda p, x: apply_fn(p, x))(params, feats))
     dist = np.asarray(
         squared_clamped(cdist_exact_blocked(jax.numpy.asarray(outputs), jax.numpy.asarray(outputs)))
@@ -317,7 +324,7 @@ def _train_all(
         if resume:
             from .resume import restore_trainer_state
 
-            state = restore_trainer_state(state_path, params, log)
+            state = restore_trainer_state(state_path, params, log, mesh=mesh)
             if state is not None:
                 start_epoch, params, opt, best_params, lowest, best_epoch, _ = state
 

@@ -30,7 +30,11 @@ def save_trainer_state(
     extra: dict | None = None,
 ):
     """`extra` carries trainer-specific JSON-serializable scalars (e.g. the
-    classifier's accuracy at the best epoch)."""
+    classifier's accuracy at the best epoch). Multi-process: only the
+    coordinator writes (identical concurrent writes through the same
+    path+'.tmp' race on os.replace)."""
+    if not is_coordinator():
+        return
     arrays = {}
     for tag, tree in (("params", params), ("opt", opt), ("best", best_params)):
         tree = jax.device_get(tree)
@@ -68,10 +72,24 @@ def load_trainer_state(path: str):
     )
 
 
-def restore_trainer_state(state_path: str, params, log=None):
+def is_coordinator() -> bool:
+    """True on the process that owns file writes (always true
+    single-process). Multi-process trainers must not race identical
+    checkpoint/autosave writes through the same path+'.tmp'."""
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def restore_trainer_state(state_path: str, params, log=None, mesh=None):
     """Load an autosave, guard its parameter shapes against the freshly-built
     `params`, and return (start_epoch, params, opt, best_params, lowest,
     best_epoch, extra) as device trees — or None when no autosave exists.
+
+    With a multi-process `mesh`, restored trees stage replicated via
+    put_global (a bare jnp.asarray would pin them to one local device and
+    clash with the global sharding inside the jitted spans).
 
     Raises SystemExit on an architecture mismatch: silently training resumed
     params of a different shape under lying checkpoint metadata is the one
@@ -90,7 +108,14 @@ def restore_trainer_state(state_path: str, params, log=None):
             f"shapes {got} but the current flags build {want} — rerun with "
             f"the original size/model-family flags, or delete the state file"
         )
-    to_dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    if mesh is not None and jax.process_count() > 1:
+        from ..parallel.mesh import put_global, replicated
+
+        to_dev = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: put_global(a, replicated(mesh)), t
+        )
+    else:
+        to_dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
     if log is not None:
         log.info(f"Resuming from epoch {last_epoch + 1} (autosaved state)")
     return (

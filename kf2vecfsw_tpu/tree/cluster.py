@@ -11,6 +11,17 @@ divide_tree later drops (main.py:225-237).
 Verified against the checked-in toy goldens
 (toy_example/train_tree_newick/train_tree.subtrees and the single-clade
 variant).
+
+Semantics note: when BOTH child subtrees exceed the threshold at one node,
+this implementation cuts until the node's total is under threshold (a
+while-loop), which guarantees the mode's documented contract — every
+cluster's internal branch-length sum <= threshold. Whether TreeCluster's
+own greedy loop cuts one or both children in that case cannot be checked in
+this offline environment (no TreeCluster source available); a single cut
+provably lets an over-threshold total propagate upward and later emit a
+contract-violating cluster, so the contract-preserving behavior is chosen.
+Property tests on random trees pin the contract; the toy golden never hits
+the ambiguous case.
 """
 
 from __future__ import annotations
