@@ -115,11 +115,42 @@ def run_worker_chunks(
     )
 
 
+def run_worker_classifier(
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+):
+    """Dense classifier trainer over a multi-process mesh (replicated
+    feature staging + coordinator-only writes)."""
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    from ..train.classifier import train_classifier_func
+    from .mesh import make_mesh
+
+    files = sorted(glob.glob(os.path.join(fixture_dir, "kf", "*.kf")))
+    train_classifier_func(
+        os.path.join(fixture_dir, "kf"),
+        files,
+        os.path.join(fixture_dir, "t.subtrees"),
+        10, 16, 4, 1e-3, 3e-6, 2000, 28, False,
+        out_dir,
+        mesh=make_mesh(),
+        log_every=10,
+        autosave_every=0,
+    )
+
+
 def launch_chunks(
     num_processes: int, fixture_dir: str, out_dir: str, local_devices: int = 4,
-    timeout_s: float = 600.0,
+    timeout_s: float = 600.0, mode: str = "chunks",
 ):
-    """Spawn chunked-trainer workers; the checkpoint lands in out_dir."""
+    """Spawn chunked- (or dense-classifier-) trainer workers; the checkpoint
+    lands in out_dir."""
     import socket
     import subprocess
 
@@ -133,7 +164,7 @@ def launch_chunks(
     env.pop("JAX_COORDINATOR_ADDRESS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-m", "kf2vecfsw_tpu.parallel.mp_check", "chunks",
+            [sys.executable, "-m", "kf2vecfsw_tpu.parallel.mp_check", mode,
              str(p), str(num_processes), coord, fixture_dir, out_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
@@ -148,7 +179,7 @@ def launch_chunks(
             raise
         if p.returncode != 0:
             raise RuntimeError(
-                f"mp_check chunks worker failed:\n{stdout.decode(errors='replace')[-3000:]}"
+                f"mp_check {mode} worker failed:\n{stdout.decode(errors='replace')[-3000:]}"
             )
 
 
@@ -198,6 +229,9 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if argv and argv[0] == "chunks":
         run_worker_chunks(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
+    if argv and argv[0] == "classifier":
+        run_worker_classifier(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
         return
     pid, nproc, coord = int(argv[0]), int(argv[1]), argv[2]
     out = argv[3] if len(argv) > 3 else None

@@ -836,21 +836,26 @@ def train_model_set_chunks_func(
             )
             saved.append(ckpt_path)
 
-            # final embeddings from FULL genomes (train_model_set_chunks.py:578-616)
-            full_paths = [
-                os.path.join(input_dir_fullgenomes, g + ".kf") for g in backbone_names
-            ]
-            full_names, full_feats = load_kf_matrix(full_paths)
-            full_feats = full_feats * F32(defaults.FEATURES_SCALER)
-            export_embeddings(
-                lambda p, x: dist_embed_apply(p, x),
-                jax.device_get(best_params),
-                full_feats,
-                full_names,
-                model_filepath,
-                c,
-                log,
-            )
+            # final embeddings from FULL genomes (train_model_set_chunks.py:578-616);
+            # coordinator-only (export writes are gated anyway — skip the
+            # redundant full-genome read + forward on other processes)
+            from .resume import is_coordinator
+
+            if is_coordinator():
+                full_paths = [
+                    os.path.join(input_dir_fullgenomes, g + ".kf") for g in backbone_names
+                ]
+                full_names, full_feats = load_kf_matrix(full_paths)
+                full_feats = full_feats * F32(defaults.FEATURES_SCALER)
+                export_embeddings(
+                    lambda p, x: dist_embed_apply(p, x),
+                    jax.device_get(best_params),
+                    full_feats,
+                    full_names,
+                    model_filepath,
+                    c,
+                    log,
+                )
             log.info(f"\n==> Training for subtree {c} completed!\n")
 
         log.info("\n==> Training Completed!\n")
@@ -1067,18 +1072,22 @@ def train_classifier_chunks_func(
 
         # backbone classes from FULL genomes (train_classifier_model_chunks.py:517-559);
         # the column mask is applied here too (the reference would crash on
-        # this path with -mask: its final pass feeds unmasked features)
-        full_paths = [os.path.join(input_dir_fullgenomes, g + ".kf") for g in names]
-        full_names, full_feats = load_kf_matrix(full_paths)
-        if column_mask is not None:
-            full_feats = full_feats[:, column_mask]
-        full_feats = full_feats * F32(defaults.FEATURES_SCALER)
-        lp = jax.jit(lambda p, x: classifier_apply(p, x))(jax.device_get(best_params), full_feats)
-        probs = np.exp(np.asarray(lp))
-        out = os.path.join(model_filepath, "backbone_classes.out")
-        full_labels = np.array([clade_map[n] for n in full_names], dtype=np.int32)
-        write_classes_table(out, full_names, probs, class_count, true_class=full_labels)
-        log.info(f"Dimensions of class output rows:{len(full_names)} cols:{4 + class_count}")
+        # this path with -mask: its final pass feeds unmasked features);
+        # coordinator-only in multi-process
+        from .resume import is_coordinator
+
+        if is_coordinator():
+            full_paths = [os.path.join(input_dir_fullgenomes, g + ".kf") for g in names]
+            full_names, full_feats = load_kf_matrix(full_paths)
+            if column_mask is not None:
+                full_feats = full_feats[:, column_mask]
+            full_feats = full_feats * F32(defaults.FEATURES_SCALER)
+            lp = jax.jit(lambda p, x: classifier_apply(p, x))(jax.device_get(best_params), full_feats)
+            probs = np.exp(np.asarray(lp))
+            out = os.path.join(model_filepath, "backbone_classes.out")
+            full_labels = np.array([clade_map[n] for n in full_names], dtype=np.int32)
+            write_classes_table(out, full_names, probs, class_count, true_class=full_labels)
+            log.info(f"Dimensions of class output rows:{len(full_names)} cols:{4 + class_count}")
 
         log.info("\n==> Training Completed!\n")
         hrs, m, s = hms(time.time() - since)

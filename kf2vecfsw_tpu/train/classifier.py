@@ -176,10 +176,20 @@ def _train(
     log.info(f"Trainable parameters: {count_params(params)}")
 
     runner = ClassifierEpochRunner(mesh, classifier_apply, specs, n_items, batch_size, donate=True)
-    # rows padded to the runner's compile bucket: XLA programs then depend on
-    # the bucket, not the exact backbone size
-    feats_dev = runner.pad_items(jax.device_put(feats))
-    labels_dev = runner.pad_items(jax.device_put(labels))
+    # rows padded (on host) to the runner's compile bucket: XLA programs then
+    # depend on the bucket, not the exact backbone size; staging is
+    # multi-process-safe (raw device_put under a global mesh pins to local
+    # devices)
+    from .chunks import stage_replicated
+
+    nb = runner.n_bucket
+    if nb > n_items:
+        feats = np.pad(feats, ((0, nb - n_items), (0, 0)))
+        labels_p = np.pad(labels, (0, nb - n_items))
+    else:
+        labels_p = labels
+    feats_dev = stage_replicated(feats, mesh)
+    labels_dev = stage_replicated(labels_p, mesh)
 
     hrs, m, s = hms(time.time() - since)
     log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
@@ -264,14 +274,18 @@ def _train(
     save_checkpoint(ckpt_path, "NeuralNetClassifierOnly", meta, best_params)
 
     # full-backbone forward with the best params -> backbone_classes.out
-    # (train_classifier_model.py:470-506)
-    model_name, meta2, loaded = load_checkpoint(ckpt_path)
-    assert model_name == "NeuralNetClassifierOnly"
-    log_probs = jax.jit(lambda p, x: classifier_apply(p, x))(loaded, feats)
-    probs = np.exp(np.asarray(log_probs))
-    out = os.path.join(model_filepath, "backbone_classes.out")
-    write_classes_table(out, names, probs, class_count, true_class=labels)
-    log.info(f"Dimensions of class output rows:{len(names)} cols:{4 + class_count}")
+    # (train_classifier_model.py:470-506); coordinator-only in multi-process
+    # (non-coordinators never wrote — and must not race — the checkpoint)
+    from .resume import is_coordinator
+
+    if is_coordinator():
+        model_name, meta2, loaded = load_checkpoint(ckpt_path)
+        assert model_name == "NeuralNetClassifierOnly"
+        log_probs = jax.jit(lambda p, x: classifier_apply(p, x))(loaded, feats[:n_items])
+        probs = np.exp(np.asarray(log_probs))
+        out = os.path.join(model_filepath, "backbone_classes.out")
+        write_classes_table(out, names, probs, class_count, true_class=labels)
+        log.info(f"Dimensions of class output rows:{len(names)} cols:{4 + class_count}")
 
     log.info("\n==> Training Completed!\n")
     hrs, m, s = hms(time.time() - since)

@@ -292,9 +292,10 @@ def _train_all(
         log.info(f"Trainable parameters: {count_params(params)}")
 
         # train on the train partition only: remap via index subset
-        train_map = np.array(train_idx, dtype=np.int32)
-        feats_dev = jax.device_put(feats)
-        dist_dev = jax.device_put(dist)
+        from .chunks import stage_replicated
+
+        feats_dev = stage_replicated(feats, mesh)
+        dist_dev = stage_replicated(dist, mesh)
         runner = DistanceEpochRunner(
             mesh, apply_fn, specs, len(train_idx), batch_size, donate=True
         )
@@ -306,13 +307,19 @@ def _train_all(
         # the runner permutes [0, n_train); map through train_map inside the
         # gather by pre-subsetting features/dist for the train partition.
         # Rows/cols padded to the runner's compile bucket so XLA programs
-        # depend on the bucket, not the exact clade size.
-        feats_train = feats_dev[train_map] if len(train_idx) != n_items else feats_dev
-        dist_train = (
-            dist_dev[np.ix_(train_idx, train_idx)] if len(train_idx) != n_items else dist_dev
+        # depend on the bucket, not the exact clade size. Subset + pad happen
+        # on HOST so staging is one multi-process-safe replicated put.
+        ft = feats[train_idx] if len(train_idx) != n_items else feats
+        dt = (
+            dist[np.ix_(train_idx, train_idx)] if len(train_idx) != n_items else dist
         )
-        feats_train = runner.pad_items(feats_train)
-        dist_train = runner.pad_dist(dist_train)
+        nb = runner.n_bucket
+        if nb > ft.shape[0]:
+            pad_n = nb - ft.shape[0]
+            ft = np.pad(ft, ((0, pad_n),) + ((0, 0),) * (ft.ndim - 1))
+            dt = np.pad(dt, ((0, pad_n), (0, pad_n)))
+        feats_train = stage_replicated(ft, mesh)
+        dist_train = stage_replicated(dt, mesh)
 
         lowest = float("inf")
         best_epoch = -1

@@ -90,3 +90,45 @@ def test_two_process_chunked_trainer_sliced_ingest(tmp_path):
     # sharp equalities above (best_epoch, lowest_loss) carry the parity
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         assert np.allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4)
+
+
+def test_two_process_dense_classifier_trainer(tmp_path):
+    """The dense classifier TRAINER (not just the runner) over a 2-process
+    mesh: replicated host-padded staging, coordinator-only checkpoint and
+    backbone_classes.out writes, result matches a single-process run."""
+    import glob
+
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.parallel.mp_check import launch_chunks
+    from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(13)
+    fixture = tmp_path / "fix"
+    (fixture / "kf").mkdir(parents=True)
+    names = [f"g{i}" for i in range(6)]
+    for n in names:
+        v = rng.random(32)
+        write_kf(str(fixture / "kf" / f"{n}.kf"), [(n, v / v.sum())])
+    (fixture / "t.subtrees").write_text(
+        "genome clade\n" + "".join(f"{n} {i % 2}\n" for i, n in enumerate(names))
+    )
+    out1 = tmp_path / "o1"
+    out2 = tmp_path / "o2"
+    out1.mkdir(), out2.mkdir()
+    try:
+        launch_chunks(1, str(fixture), str(out1), local_devices=8, mode="classifier")
+        launch_chunks(2, str(fixture), str(out2), local_devices=4, mode="classifier")
+    except RuntimeError as e:
+        if "collectives" in str(e).lower() or "gloo" in str(e).lower():
+            pytest.skip(f"CPU cross-process collectives unavailable: {e}")
+        raise
+    _, m1, p1 = load_checkpoint(str(out1 / "classifier_model.ckpt"))
+    _, m2, p2 = load_checkpoint(str(out2 / "classifier_model.ckpt"))
+    assert m1["best_epoch"] == m2["best_epoch"]
+    assert np.isclose(m1["lowest_loss"], m2["lowest_loss"], rtol=1e-2)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4)
+    # backbone_classes.out written exactly once (coordinator)
+    assert (out2 / "backbone_classes.out").exists()
