@@ -100,11 +100,13 @@ class KmerCounter:
     min_device_bases: int = 200_000
     # above this k the native per-thread histograms stop paying off
     max_native_k: int = 11
-    # above this k the MXU one-hot histogram's O(4^k) per-window redundancy
-    # makes the device path pathological — auto prefers host there (the
-    # batched int8 MXU path wins through k=9; k=10-11 remain reachable via
+    # above this k the MXU one-hot histogram's O(4^k) per-window work makes
+    # the device path lose to the host counter: measured 312 genomes/s
+    # on-chip at k=7 (vs ~240/s/core host), and the cost quadruples per +1 k
+    # while the host stays flat through k~10 — so auto uses the device at
+    # the default k=7 only (k=8..13 remain reachable via
     # KF2VEC_COUNT_BACKEND=tpu)
-    max_device_k: int = 9
+    max_device_k: int = 7
 
     def __post_init__(self):
         self.vocab = canonical_vocab_codes(self.k) if self.k <= MAX_DENSE_K else None
