@@ -94,6 +94,20 @@ def count_canonical_sharded(codes_u8: np.ndarray, k: int, mesh) -> np.ndarray:
         in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
     )
-    out = jax.jit(fn)(jax.device_put(packed), jax.device_put(inv))
+    # multi-process-safe staging: each process contributes only its segment
+    # rows (a raw device_put under the global sharding would throw)
+    from jax.sharding import NamedSharding
+
+    from .mesh import process_row_slice, put_global_rows
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        sl = process_row_slice(n_data, mesh)
+        packed_dev = put_global_rows(packed[sl], n_data, sh)
+        inv_dev = put_global_rows(inv[sl], n_data, sh)
+    else:
+        packed_dev = jax.device_put(packed)
+        inv_dev = jax.device_put(inv)
+    out = jax.jit(fn)(packed_dev, inv_dev)
     # every row is the same psum'd histogram; take the first
     return np.asarray(out[0]).astype(np.int64)

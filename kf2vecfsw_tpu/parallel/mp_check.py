@@ -115,6 +115,38 @@ def run_worker_chunks(
     )
 
 
+def run_worker_counting(
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+):
+    """Sharded canonical counting over a multi-process mesh: per-device
+    partial histograms + psum across processes, vs the numpy ground truth."""
+    import json as _json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    import numpy as np
+
+    from ..kmer.counter import count_canonical_numpy
+    from .counting import count_canonical_sharded
+    from .mesh import make_mesh
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 5, size=400_003).astype(np.uint8)
+    k = 7
+    got = count_canonical_sharded(codes, k, make_mesh())
+    ref = count_canonical_numpy(codes, k)
+    ok = bool(np.array_equal(got, ref))
+    if process_id == 0:
+        with open(os.path.join(out_dir, "counting.json"), "w") as f:
+            _json.dump({"ok": ok, "total": int(got.sum())}, f)
+    assert ok, "sharded multi-process counting diverged from numpy"
+
+
 def run_worker_classifier(
     process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
 ):
@@ -232,6 +264,9 @@ def main(argv=None):
         return
     if argv and argv[0] == "classifier":
         run_worker_classifier(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
+    if argv and argv[0] == "counting":
+        run_worker_counting(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
         return
     pid, nproc, coord = int(argv[0]), int(argv[1]), argv[2]
     out = argv[3] if len(argv) > 3 else None

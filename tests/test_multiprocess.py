@@ -132,3 +132,27 @@ def test_two_process_dense_classifier_trainer(tmp_path):
         assert np.allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4)
     # backbone_classes.out written exactly once (coordinator)
     assert (out2 / "backbone_classes.out").exists()
+
+
+def test_two_process_sharded_counting(tmp_path):
+    """Per-device partial histograms + psum across REAL processes: the
+    multi-host analogue of sequence parallelism (SURVEY §2.3). Each process
+    stages only its segment rows; counts must equal the numpy ground truth."""
+    import json
+
+    from kf2vecfsw_tpu.parallel.mp_check import launch_chunks
+
+    out = tmp_path / "o"
+    out.mkdir()
+    fixture = tmp_path / "f"
+    fixture.mkdir()
+    try:
+        launch_chunks(2, str(fixture), str(out), local_devices=4, mode="counting")
+    except RuntimeError as e:
+        if "collectives" in str(e).lower() or "gloo" in str(e).lower():
+            pytest.skip(f"CPU cross-process collectives unavailable: {e}")
+        raise
+    with open(out / "counting.json") as f:
+        result = json.load(f)
+    assert result["ok"]
+    assert result["total"] > 0
