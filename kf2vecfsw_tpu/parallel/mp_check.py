@@ -115,6 +115,37 @@ def run_worker_chunks(
     )
 
 
+def run_worker_chunks_classifier(
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+):
+    """Chunked CLASSIFIER trainer over a multi-process mesh (per-process
+    sliced ingest + process-sharded prefix store)."""
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    from ..train.chunks import train_classifier_chunks_func
+    from .mesh import make_mesh
+
+    files = sorted(glob.glob(os.path.join(fixture_dir, "chunks", "*.kf")))
+    train_classifier_chunks_func(
+        os.path.join(fixture_dir, "chunks"),
+        os.path.join(fixture_dir, "full"),
+        files,
+        os.path.join(fixture_dir, "t.subtrees"),
+        8, 16, 4, 1e-3, 3e-6, 2000, 28, False, False,
+        out_dir,
+        mesh=make_mesh(),
+        log_every=10,
+        autosave_every=0,
+    )
+
+
 def run_worker_counting(
     process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
 ):
@@ -267,6 +298,9 @@ def main(argv=None):
         return
     if argv and argv[0] == "counting":
         run_worker_counting(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
+    if argv and argv[0] == "chunks_classifier":
+        run_worker_chunks_classifier(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
         return
     pid, nproc, coord = int(argv[0]), int(argv[1]), argv[2]
     out = argv[3] if len(argv) > 3 else None

@@ -475,7 +475,9 @@ def stage_replicated(x, mesh):
     return jax.tree.map(lambda a: put_global(jax.device_get(a), replicated(mesh)), x)
 
 
-def load_chunk_store_process_sliced(kf_paths: list[str], mesh, cap: bool):
+def load_chunk_store_process_sliced(
+    kf_paths: list[str], mesh, cap: bool, column_mask: np.ndarray | None = None
+):
     """Multi-host chunk ingest: THIS process reads only the chunk `.kf`
     files for the contiguous genome range its devices own; per-genome chunk
     counts and the feature width are exchanged with process_allgather.
@@ -498,6 +500,8 @@ def load_chunk_store_process_sliced(kf_paths: list[str], mesh, cap: bool):
 
     def load(path):
         _, mat = read_kf(path)
+        if column_mask is not None:
+            mat = mat[:, column_mask]
         return np.minimum(mat, 255).astype(np.uint8) if cap else mat.astype(np.uint16)
 
     local = [load(q) for q in kf_paths[lo:hi]]
@@ -907,9 +911,23 @@ def train_classifier_chunks_func(
             if k_inferred is None:
                 raise ValueError(f"cannot infer k from width {probe.shape[1]} for -mask")
             column_mask = low_complexity_mask(k_inferred)
-        store = ChunkStore(feature_files, cap=cap_data, column_mask=column_mask)
-        names = store.names
-        input_size = store.input_size
+        # multi-host ingest: each process reads only its genome slice when
+        # the sharded device store applies (same pattern as the chunked
+        # distance trainer)
+        store = None
+        dstore_presliced = None
+        sliced = load_chunk_store_process_sliced(feature_files, mesh, cap_data, column_mask)
+        if sliced is not None:
+            local_mats, counts_global, input_size, totals_global = sliced
+            if sharded_store_fits(counts_global, input_size, mesh, totals_global):
+                dstore_presliced = DeviceChunkStore.build_process_sharded(
+                    local_mats, counts_global, input_size, mesh
+                )
+                log.info("Chunk ingest: per-process genome slices (multi-host)")
+        if dstore_presliced is None:
+            store = ChunkStore(feature_files, cap=cap_data, column_mask=column_mask)
+            input_size = store.input_size
+        names = [os.path.basename(p)[: -len(".kf")] for p in feature_files]
         n_items = len(names)
         log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
         log.info(f"Masking: {custom_mask}")
@@ -920,11 +938,13 @@ def train_classifier_chunks_func(
         clade_map = dict(read_subtrees(clades_info))
         labels = np.array([clade_map[n] for n in names], dtype=np.int32)
         class_count = int(np.unique(labels).size)
-        labels_dev = jax.device_put(labels)
+        labels_dev = stage_replicated(labels, mesh)
         log.info(f"Number of Classes: {class_count}")
 
         key = jax.random.PRNGKey(seed)
-        params = init_classifier(key, input_size, hidden_size, class_count)
+        params = stage_replicated(
+            init_classifier(key, input_size, hidden_size, class_count), mesh
+        )
         opt = adam_init(params)
         log.info(f"Total parameters: {count_params(params)}")
 
@@ -941,7 +961,14 @@ def train_classifier_chunks_func(
             params, opt = adam_update(params, grads, opt, lr)
             return params, opt, loss, correct
 
-        dstore = DeviceChunkStore(store.matrices, mesh=mesh) if DeviceChunkStore.fits(store.matrices, mesh) else None
+        if dstore_presliced is not None:
+            dstore = dstore_presliced
+        else:
+            dstore = (
+                DeviceChunkStore(store.matrices, mesh=mesh)
+                if DeviceChunkStore.fits(store.matrices, mesh)
+                else None
+            )
         log.info(
             "Chunk store: device-resident prefix sums"
             if dstore is not None

@@ -156,3 +156,45 @@ def test_two_process_sharded_counting(tmp_path):
         result = json.load(f)
     assert result["ok"]
     assert result["total"] > 0
+
+
+def test_two_process_chunked_classifier_sliced_ingest(tmp_path):
+    """The chunked CLASSIFIER trainer over a 2-process mesh with per-process
+    sliced ingest: checkpoint matches a single-process run."""
+    import glob
+
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.parallel.mp_check import launch_chunks
+    from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(17)
+    fixture = tmp_path / "fix"
+    (fixture / "chunks").mkdir(parents=True)
+    (fixture / "full").mkdir()
+    names = [f"g{i}" for i in range(8)]
+    for i, g in enumerate(names):
+        mat = rng.integers(0, 50, size=(6, 32)).astype(np.float64)
+        write_kf(str(fixture / "chunks" / f"{g}.kf"),
+                 [(f"{g}.part_{r}", mat[r]) for r in range(6)])
+        fv = mat.sum(axis=0)
+        write_kf(str(fixture / "full" / f"{g}.kf"), [(g, fv / fv.sum())])
+    (fixture / "t.subtrees").write_text(
+        "genome clade\n" + "".join(f"{g} {i % 2}\n" for i, g in enumerate(names))
+    )
+    out1 = tmp_path / "o1"
+    out2 = tmp_path / "o2"
+    out1.mkdir(), out2.mkdir()
+    try:
+        launch_chunks(1, str(fixture), str(out1), local_devices=8, mode="chunks_classifier")
+        launch_chunks(2, str(fixture), str(out2), local_devices=4, mode="chunks_classifier")
+    except RuntimeError as e:
+        if "collectives" in str(e).lower() or "gloo" in str(e).lower():
+            pytest.skip(f"CPU cross-process collectives unavailable: {e}")
+        raise
+    logs = sorted(glob.glob(str(out2 / "train_classifier_*.log")))
+    assert any("per-process genome slices" in open(l).read() for l in logs)
+    _, m1, p1 = load_checkpoint(str(out1 / "classifier_model.ckpt"))
+    _, m2, p2 = load_checkpoint(str(out2 / "classifier_model.ckpt"))
+    assert m1["best_epoch"] == m2["best_epoch"]
+    assert np.isclose(m1["lowest_loss"], m2["lowest_loss"], rtol=1e-2)
+    assert (out2 / "backbone_classes.out").exists()
