@@ -116,8 +116,8 @@ def bench_vectorization() -> dict:
         t0 = time.perf_counter()
         acc = H.count_canonical_device_batch_async(genomes, 7)
         hists = H.finalize_device_counts_batch_array(acc, 7)
+        [h[vocab] for h in hists]  # vocab fold is part of producing .kf rows
         dt_e2e = min(dt_e2e, (time.perf_counter() - t0) / g)
-    [h[vocab] for h in hists]
 
     # on-chip: inputs staged on device once, steady-state kernel+preamble
     length = H._bucket_bases(codes.size)

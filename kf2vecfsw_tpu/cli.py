@@ -53,7 +53,7 @@ def _cmd_get_frequencies(args):
 def _cmd_divide_tree(args):
     from .ingest.tree_ops import divide_tree
 
-    divide_tree(args.tree, args.size)
+    divide_tree(args.tree, args.size, single_cut=getattr(args, "tc_single_cut", False))
 
 
 def _cmd_scale_tree(args):
@@ -304,6 +304,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-tree", help="Input phylogeny (a .newick/.nwk format)")
     p.add_argument("-size", type=int, default=D.DEFAULT_SUBTREE_SZ,
                    help=f"Size of the subtree. Default: {D.DEFAULT_SUBTREE_SZ}")
+    # hidden (like the reference's -mask): upstream-TreeCluster single-cut
+    # ambiguity resolution instead of the contract-preserving default
+    p.add_argument("-tc_single_cut", action="store_true", help=argparse.SUPPRESS)
     p.set_defaults(func=_cmd_divide_tree)
 
     p = sub.add_parser("scale_tree", description="Scales all edges in the tree by multiplier.")

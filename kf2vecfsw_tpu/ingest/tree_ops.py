@@ -23,9 +23,11 @@ def _load_tree(tree_path: str) -> Tree:
         raise SystemExit(1)
 
 
-def divide_tree(tree_path: str, size: int) -> str:
+def divide_tree(tree_path: str, size: int, single_cut: bool = False) -> str:
     """Split the phylogeny into subtrees; writes {tree}.subtrees next to the
-    input (main.py:186-247). Returns the output path."""
+    input (main.py:186-247). Returns the output path. ``single_cut`` mirrors
+    upstream TreeCluster's one-cut-per-node ambiguity resolution (see
+    tree/cluster.py docstring)."""
     tree = _load_tree(tree_path)
     head = os.path.split(tree_path)[0]
     tree_name = os.path.splitext(os.path.basename(tree_path))[0]
@@ -35,7 +37,15 @@ def divide_tree(tree_path: str, size: int) -> str:
         if node.label is not None:
             node.edge_length = 1.0
 
-    clusters = sum_branch_clusters(tree, 2 * size)
+    stats: dict = {}
+    clusters = sum_branch_clusters(tree, 2 * size, single_cut=single_cut, stats=stats)
+    if stats.get("ambiguous_nodes", 0) > 0:
+        warnings.warn(
+            f"sum_branch hit the both-children-over-threshold case at "
+            f"{stats['ambiguous_nodes']} node(s); the partition depends on the "
+            "ambiguity mode (default: cut-until-under; -tc_single_cut mirrors "
+            "upstream TreeCluster) and may differ from a reference-built library."
+        )
     n_singletons = sum(1 for c in clusters if len(c) == 1)
     if n_singletons > 0:
         warnings.warn(

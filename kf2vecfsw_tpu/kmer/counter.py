@@ -133,7 +133,7 @@ class KmerCounter:
         if n_bases < self.min_device_bases:
             return False
         if self.k > self.max_device_k:
-            return False  # MXU histogram redundancy explodes beyond k=9
+            return False  # auto uses the chip at k<=max_device_k (7) only
         # with a real accelerator attached, the batched one-dispatch MXU path
         # beats the per-core host counter (~4.4 ms/5 Mb genome at k=7 on
         # chip) — IF the host->device link can feed it. Thin tunneled links

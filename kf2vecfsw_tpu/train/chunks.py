@@ -481,9 +481,10 @@ def load_chunk_store_process_sliced(
     """Multi-host chunk ingest: THIS process reads only the chunk `.kf`
     files for the contiguous genome range its devices own; per-genome chunk
     counts and the feature width are exchanged with process_allgather.
-    Returns (local_matrices, counts_global, input_size) for
-    DeviceChunkStore.build_process_sharded, or None when the layout does not
-    divide evenly (callers fall back to full replicated ingest)."""
+    Returns (local_matrices, counts_global, input_size, totals_global) for
+    DeviceChunkStore.build_process_sharded / sharded_store_fits, or None when
+    the layout does not divide evenly (callers fall back to full replicated
+    ingest)."""
     from jax.experimental import multihost_utils
 
     from ..io.kf import read_kf
@@ -626,7 +627,6 @@ def train_model_set_chunks_func(
 
         avail = {os.path.basename(f)[: -len(".kf")]: f for f in feature_files}
         saved: list[str] = []
-        rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
 
         for c in clade_order:
@@ -800,13 +800,17 @@ def train_model_set_chunks_func(
             else:
                 for epoch in range(start_epoch, num_epochs):
                     lr = step_lr(epoch, lr0, lr_min, lr_decay)
-                    perm = rng.permutation(n_items)
+                    # keyed by absolute epoch (not positional) so a -resume'd
+                    # run replays the identical permutation + chunk-span
+                    # sample stream, exactly like the device span path
+                    erng = np.random.default_rng((seed, epoch))
+                    perm = erng.permutation(n_items)
                     losses = []
 
                     def batches():
                         for bi in range(n_batches):
                             gidx = perm[bi * batch_size : (bi + 1) * batch_size]
-                            x = store.sample_batch(rng, gidx, draws=2)
+                            x = store.sample_batch(erng, gidx, draws=2)
                             yield gidx.astype(np.int32), x
 
                     for gidx, x in _prefetch(batches()):
@@ -821,10 +825,6 @@ def train_model_set_chunks_func(
                     if autosave_every and (epoch + 1) % autosave_every == 0:
                         from .resume import save_trainer_state
 
-                        # NOTE: the host path's numpy RNG stream is positional,
-                        # so a resumed run continues training but does not
-                        # replay the identical sample sequence (the device
-                        # path, keyed by absolute epoch, does)
                         save_trainer_state(
                             state_path, epoch, params, opt, best_params, lowest, best_epoch
                         )
@@ -980,7 +980,6 @@ def train_classifier_chunks_func(
             params, opt = adam_update(params, grads, opt, lr)
             return params, opt, (loss, correct)
 
-        rng = np.random.default_rng(seed)
         key = jax.random.fold_in(key, 23)
         n_batches = max(1, math.ceil(n_items / batch_size))
         lowest, best_epoch, best_params, highest_acc = math.inf, -1, params, -1.0
@@ -1055,13 +1054,15 @@ def train_classifier_chunks_func(
         else:
             for epoch in range(start_epoch, num_epochs):
                 lr = step_lr(epoch, lr0, lr_min, lr_decay)
-                perm = rng.permutation(n_items)
+                # absolute-epoch-keyed RNG: -resume replays the exact stream
+                erng = np.random.default_rng((seed, epoch))
+                perm = erng.permutation(n_items)
                 losses, corrects = [], []
 
                 def batches():
                     for bi in range(n_batches):
                         gidx = perm[bi * batch_size : (bi + 1) * batch_size]
-                        yield gidx.astype(np.int32), store.sample_batch(rng, gidx, draws=1)
+                        yield gidx.astype(np.int32), store.sample_batch(erng, gidx, draws=1)
 
                 for gidx, x in _prefetch(batches()):
                     params, opt, loss, corr = step(params, opt, x, gidx, jnp.float32(lr), labels_dev)

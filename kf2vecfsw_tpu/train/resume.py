@@ -93,10 +93,34 @@ def restore_trainer_state(state_path: str, params, log=None, mesh=None):
 
     Raises SystemExit on an architecture mismatch: silently training resumed
     params of a different shape under lying checkpoint metadata is the one
-    failure mode worse than losing the run."""
+    failure mode worse than losing the run.
+
+    Multi-process: autosaves are written by the coordinator only, but every
+    process reads the state file independently here, so a deployment without
+    a shared filesystem would resume process 0 at epoch N while the others
+    start fresh — divergent span/collective sequences that hang or corrupt
+    the run. Guard: allgather (has_state, epoch) and fail loudly on any
+    disagreement instead of training divergently."""
     import jax.numpy as jnp
 
     state = load_trainer_state(state_path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        mine = np.array(
+            [1 if state is not None else 0, state[0] if state is not None else -1],
+            dtype=np.int64,
+        )
+        views = np.asarray(multihost_utils.process_allgather(mine))
+        if not (views == views[0]).all():
+            raise SystemExit(
+                f"cannot -resume: processes disagree on the autosaved state at "
+                f"{state_path} (per-process [has_state, epoch] = "
+                f"{views.tolist()}). Autosaves are written by process 0 only; "
+                f"multi-host resume requires the state path to live on a "
+                f"filesystem shared by all processes (or be copied to each "
+                f"host before resuming)."
+            )
     if state is None:
         return None
     last_epoch, s_params, s_opt, s_best, lowest, best_epoch, extra = state

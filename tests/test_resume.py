@@ -187,9 +187,17 @@ def _chunk_fixture(root, n=4, v=32, rows=6):
     return chunks_dir, full_dir, sub, names
 
 
-def test_chunked_distance_resume_matches_uninterrupted(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("host_path", [False, True])
+def test_chunked_distance_resume_matches_uninterrupted(tmp_path, monkeypatch, host_path):
+    """Device store path AND host streaming path (budget forced to 0): both
+    key sampling by absolute epoch, so kill+resume replays the exact stream."""
     from kf2vecfsw_tpu.train.chunks import train_model_set_chunks_func
 
+    if host_path:
+        monkeypatch.setenv("KF2VEC_CHUNK_DEVICE_BUDGET", "0")
     chunks_dir, full_dir, sub, _ = _chunk_fixture(str(tmp_path))
     files = sorted(glob.glob(os.path.join(chunks_dir, "*.kf")))
     out_a = tmp_path / "a"
@@ -211,9 +219,12 @@ def test_chunked_distance_resume_matches_uninterrupted(tmp_path):
                        str(out_b / "model_subtree_0.ckpt"))
 
 
-def test_chunked_classifier_resume_matches_uninterrupted(tmp_path):
+@pytest.mark.parametrize("host_path", [False, True])
+def test_chunked_classifier_resume_matches_uninterrupted(tmp_path, monkeypatch, host_path):
     from kf2vecfsw_tpu.train.chunks import train_classifier_chunks_func
 
+    if host_path:
+        monkeypatch.setenv("KF2VEC_CHUNK_DEVICE_BUDGET", "0")
     chunks_dir, full_dir, sub, names = _chunk_fixture(str(tmp_path))
     # two clades so the classifier has something to separate
     with open(sub, "w") as f:

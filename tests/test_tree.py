@@ -218,3 +218,48 @@ def test_sum_branch_cuts_both_children_when_both_exceed():
     for c in clusters:
         if len(c) > 1:
             assert _cluster_branch_sum(t, c) <= 10.0 + 1e-9, c
+
+
+def test_sum_branch_ambiguity_never_fires_at_reference_regime():
+    """divide_tree's regime (unit edges, threshold 2*850): the
+    both-children-over-threshold case requires both post-cut child totals
+    within one edge length of the threshold — measured ZERO occurrences on
+    random-attachment and balanced unit-edge trees up to 16k leaves, so the
+    default (cut-until-under) and -tc_single_cut (upstream TreeCluster)
+    modes produce identical partitions."""
+    from kf2vecfsw_tpu.tree.cluster import sum_branch_clusters
+
+    for seed, n in [(0, 4096), (1, 8192)]:
+        t = _random_binary_tree(np.random.default_rng(seed), n)
+        stats = {}
+        multi = sum_branch_clusters(t, 1700.0, stats=stats)
+        assert stats["ambiguous_nodes"] == 0
+        assert multi == sum_branch_clusters(t, 1700.0, single_cut=True)
+
+
+def test_sum_branch_single_cut_diverges_only_on_ambiguous_nodes():
+    """When the ambiguous case does fire (only reachable when threshold is
+    O(edge length), far below any real -size), the single-cut mode mirrors
+    upstream by propagating the over-threshold remainder — which can emit
+    clusters violating the branch-sum contract; the default never does."""
+    from kf2vecfsw_tpu.tree.cluster import sum_branch_clusters
+
+    rng = np.random.default_rng(100)
+    t = _random_binary_tree(rng, 3184, unit_edges=False)  # edges ~ U[0,2)
+    stats = {}
+    multi = sum_branch_clusters(t, 5.0, stats=stats)
+    assert stats["ambiguous_nodes"] > 0  # the case fires at this scale
+    single = sum_branch_clusters(t, 5.0, single_cut=True)
+    assert multi != single
+    # default keeps the contract on every cluster
+    for c in multi:
+        if len(c) > 1:
+            assert _cluster_branch_sum(t, c) <= 5.0 + 1e-9
+    # both modes still partition the leaves exactly
+    all_leaves = sorted(t.leaf_labels())
+    assert sorted(x for c in single for x in c) == all_leaves
+    # measured across a 40-tree x 5-threshold sweep: single-cut's propagated
+    # over-threshold remainder never produced a cluster whose INDUCED branch
+    # sum violates the contract (the live total overcounts by the edges
+    # toward already-cut subtrees), so the divergence is partition-shape
+    # only — still a real artifact difference, hence the warning + flag
