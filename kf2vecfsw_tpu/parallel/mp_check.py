@@ -146,6 +146,107 @@ def run_worker_chunks_classifier(
     )
 
 
+def run_worker_distance(
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+):
+    """The flagship DENSE distance trainer (train_model_set.py:96 equivalent,
+    train_model_set_func itself) over a multi-process mesh."""
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    from ..train.distance import train_model_set_func
+    from .mesh import make_mesh
+
+    files = sorted(glob.glob(os.path.join(fixture_dir, "kf", "*.kf")))
+    train_model_set_func(
+        os.path.join(fixture_dir, "kf"),
+        files,
+        os.path.join(fixture_dir, "t.subtrees"),
+        fixture_dir,
+        8, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28,
+        out_dir,
+        use_fsw=False,
+        mesh=make_mesh(),
+        log_every=10,
+        autosave_every=0,
+    )
+
+
+def run_worker_fsw(
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+):
+    """The FSW (NeuralNetFSW) distance trainer over a multi-process mesh:
+    the batched minor-axis sort + slice shards run under real cross-process
+    collectives."""
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    from ..train.distance import train_model_set_func
+    from .mesh import make_mesh
+
+    files = sorted(glob.glob(os.path.join(fixture_dir, "npy", "*.npy")))
+    train_model_set_func(
+        os.path.join(fixture_dir, "npy"),
+        files,
+        os.path.join(fixture_dir, "t.subtrees"),
+        fixture_dir,
+        8, 16, 8, 4, 1e-3, 3e-6, 2000, None, 28,
+        out_dir,
+        use_fsw=True,
+        base_dim=2,
+        fswout_dim=16,
+        mesh=make_mesh(),
+        log_every=10,
+        autosave_every=0,
+    )
+
+
+def run_worker_resume(
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+):
+    """Kill-mid-run + -resume under a REAL multi-process mesh: train the
+    dense classifier 8 epochs with autosaves ("crash" = the first call
+    returning), then resume to 12. Exercises coordinator-only state writes
+    plus the cross-process restored-epoch agreement guard
+    (train/resume.py)."""
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    from ..train.classifier import train_classifier_func
+    from .mesh import make_mesh
+
+    mesh = make_mesh()
+    files = sorted(glob.glob(os.path.join(fixture_dir, "kf", "*.kf")))
+    args = (
+        os.path.join(fixture_dir, "kf"), files,
+        os.path.join(fixture_dir, "t.subtrees"),
+    )
+    kw = dict(mesh=mesh, log_every=10, autosave_every=4)
+    train_classifier_func(*args, 8, 16, 4, 1e-3, 3e-6, 2000, 28, False, out_dir, **kw)
+    assert os.path.exists(os.path.join(out_dir, "trainer_state_classifier.ckpt"))
+    train_classifier_func(
+        *args, 12, 16, 4, 1e-3, 3e-6, 2000, 28, False, out_dir, resume=True, **kw
+    )
+
+
 def run_worker_counting(
     process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
 ):
@@ -301,6 +402,15 @@ def main(argv=None):
         return
     if argv and argv[0] == "chunks_classifier":
         run_worker_chunks_classifier(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
+    if argv and argv[0] == "distance":
+        run_worker_distance(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
+    if argv and argv[0] == "fsw":
+        run_worker_fsw(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
+    if argv and argv[0] == "resume":
+        run_worker_resume(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
         return
     pid, nproc, coord = int(argv[0]), int(argv[1]), argv[2]
     out = argv[3] if len(argv) > 3 else None
