@@ -56,8 +56,10 @@ def classify_func(
 
         classes_path = os.path.join(output_dir, "classes.out")
         header = ["genome", "top_class", "top_p"] + [str(x) for x in range(class_count)]
-        with open(classes_path, "w") as f:
-            f.write("\t".join(header) + "\n")
+        from ..train.step import bucket_items
+        from .query import _prefetch_blocks
+
+        def _blocks():
             for z in range(0, len(feature_files), block_size):
                 chunk = feature_files[z : z + block_size]
                 names, mat = read_kf_files(chunk, dtype=np.float32)
@@ -71,21 +73,36 @@ def classify_func(
                 # rows pad to a geometric bucket so XLA compiles a bounded
                 # set of programs even when block row counts vary (chunked
                 # query files contribute variable rows per file)
-                from ..train.step import bucket_items
-
                 n_rows = x.shape[0]
                 n_pad = bucket_items(max(n_rows, 1), floor=64)
                 if n_pad != n_rows:
                     x = np.pad(x, ((0, n_pad - n_rows), (0, 0)))
-                probs = np.exp(np.asarray(forward(params, x))[:n_rows])
-                top = probs.argmax(axis=1)
-                for i, name in enumerate(names):
-                    row = [
-                        name,
-                        float_repr(float(top[i])),
-                        float_repr(float(probs[i, top[i]])),
-                    ] + [float_repr(float(p)) for p in probs[i]]
-                    f.write("\t".join(row) + "\n")
+                yield names, x, n_rows
+
+        def _write_out(f, pending):
+            names, out_dev, n_rows = pending
+            probs = np.exp(np.asarray(out_dev)[:n_rows])
+            top = probs.argmax(axis=1)
+            for i, name in enumerate(names):
+                row = [
+                    name,
+                    float_repr(float(top[i])),
+                    float_repr(float(probs[i, top[i]])),
+                ] + [float_repr(float(p)) for p in probs[i]]
+                f.write("\t".join(row) + "\n")
+
+        with open(classes_path, "w") as f:
+            f.write("\t".join(header) + "\n")
+            # same pipeline as query_func: parse block z+1 on a thread,
+            # format block z-1 while the device runs block z
+            pending = None
+            for names, x, n_rows in _prefetch_blocks(_blocks()):
+                out_dev = forward(params, x)
+                if pending is not None:
+                    _write_out(f, pending)
+                pending = (names, out_dev, n_rows)
+            if pending is not None:
+                _write_out(f, pending)
 
         log.info("\n==> Classification Completed!\n")
         hrs, m, s = hms(time.time() - since)

@@ -126,20 +126,36 @@ def query_func(
             emb_path = os.path.join(output_dir, f"embedding_subtree_{c}.emb")
             with open(dist_path, "w") as f_dist, open(emb_path, "w") as f_emb:
                 f_dist.write("\t" + "\t".join(emb_names) + "\n")
-                for z in range(0, len(contig_ids), block_size):
-                    block_ids = contig_ids[z : z + block_size]
-                    names, x = loader(block_ids)
-                    outputs = np.asarray(forward(params, x))
-                    d = np.asarray(
-                        squared_clamped(
-                            cdist_exact_blocked(jax.numpy.asarray(outputs), emb_dev)
-                        )
-                    )
-                    labels = [remap.get(n, n) for n in names] if remap else names
+
+                # three-stage pipeline (reference query.py:148-189 runs
+                # read -> forward -> format strictly serially): a background
+                # thread parses block z+1 while the device runs block z, and
+                # block z-1 is formatted/written BETWEEN dispatching z and
+                # fetching z — JAX dispatch is async, so the host text work
+                # overlaps the device forward+cdist instead of serializing
+                def _blocks():
+                    for z in range(0, len(contig_ids), block_size):
+                        yield loader(contig_ids[z : z + block_size])
+
+                def _write_out(pending):
+                    labels, out_dev, d_dev = pending
+                    outputs = np.asarray(out_dev)
+                    d = np.asarray(d_dev)
                     for lbl, drow in zip(labels, d):
                         f_dist.write(lbl + "\t" + f32_row(drow))
                     for lbl, erow in zip(labels, outputs):
                         f_emb.write(lbl + "\t" + f32_row(erow))
+
+                pending = None
+                for names, x in _prefetch_blocks(_blocks()):
+                    out_dev = forward(params, x)
+                    d_dev = squared_clamped(cdist_exact_blocked(out_dev, emb_dev))
+                    labels = [remap.get(n, n) for n in names] if remap else names
+                    if pending is not None:
+                        _write_out(pending)
+                    pending = (labels, out_dev, d_dev)
+                if pending is not None:
+                    _write_out(pending)
             written += [dist_path, emb_path]
             log.info(f"Wrote distance matrix: {dist_path}")
             log.info(f"Wrote embeddings: {emb_path}")
@@ -153,6 +169,35 @@ def query_func(
         return written
     finally:
         close_logger(log)
+
+
+def _prefetch_blocks(blocks_iter, depth: int = 2):
+    """Background-thread block prefetcher: host file parse for block z+1
+    overlaps device compute for block z."""
+    import threading
+    from queue import Queue
+
+    q: Queue = Queue(maxsize=depth)
+    DONE = object()
+    ERR = object()
+
+    def worker():
+        try:
+            for b in blocks_iter:
+                q.put(b)
+        except BaseException as e:  # re-raise in the consumer, not the thread
+            q.put((ERR, e))
+            return
+        q.put(DONE)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+            raise item[1]
+        yield item
 
 
 def _kf_block_loader(folder: str):

@@ -375,29 +375,56 @@ def _count_batch_jit(
 _LINK_MBPS: float | None = None
 
 
-def link_bandwidth_mbps() -> float:
+def _probe_link_once(seed: int) -> float:
+    import time
+
+    import jax
+
+    # a fresh random buffer each probe: dedupe-capable links (the axon
+    # tunnel) would report cached-replay bandwidth for repeated content
+    buf = np.random.default_rng(seed).integers(0, 256, size=4 << 20).astype(np.uint8)
+    np.asarray(jax.device_put(buf[: 1 << 16])[:8])  # warm the path
+    t0 = time.perf_counter()
+    dev = jax.device_put(buf)
+    np.asarray(dev[:8])  # forces the full transfer
+    dt = time.perf_counter() - t0
+    return (buf.nbytes / 1e6) / max(dt, 1e-9)
+
+
+def link_bandwidth_mbps(threshold: float = 100.0) -> float:
     """Measured host->device transfer bandwidth (MB/s), probed once per
     process with a ~4 MB incompressible buffer. The counting kernel needs
     ~300 MB/s of packed bases to stay busy; on thin tunneled links the host
     counter wins regardless of chip speed, so the auto backend gates on
-    this. Override with KF2VEC_LINK_MBPS."""
+    this. A single sample below `threshold` is re-probed twice (best-of-3):
+    one contended moment on a busy PCIe host must not silently demote
+    counting to the host path for the process's lifetime. The decision is
+    logged either way. Override with KF2VEC_LINK_MBPS."""
     global _LINK_MBPS
     if _LINK_MBPS is None:
+        import logging
+
+        log = logging.getLogger("kf2vecfsw_tpu")
         env = os.environ.get("KF2VEC_LINK_MBPS")
         if env:
             _LINK_MBPS = float(env)
+            log.info(f"host->device link: {_LINK_MBPS:.0f} MB/s (KF2VEC_LINK_MBPS override)")
             return _LINK_MBPS
-        import time
-
-        import jax
-
-        buf = np.random.default_rng(0x5EED).integers(0, 256, size=4 << 20).astype(np.uint8)
-        np.asarray(jax.device_put(buf[: 1 << 16])[:8])  # warm the path
-        t0 = time.perf_counter()
-        dev = jax.device_put(buf)
-        np.asarray(dev[:8])  # forces the full transfer
-        dt = time.perf_counter() - t0
-        _LINK_MBPS = (buf.nbytes / 1e6) / max(dt, 1e-9)
+        best = _probe_link_once(0x5EED)
+        probes = 1
+        while best < threshold and probes < 3:  # re-probe before demoting
+            best = max(best, _probe_link_once(0x5EED + probes))
+            probes += 1
+        _LINK_MBPS = best
+        verdict = (
+            "device counting viable"
+            if best >= threshold
+            else "demoting auto counting to the host path (thin link)"
+        )
+        log.info(
+            f"host->device link probe: {best:.0f} MB/s best-of-{probes} "
+            f"(threshold {threshold:.0f}) — {verdict}"
+        )
     return _LINK_MBPS
 
 
