@@ -172,3 +172,51 @@ def test_fsw_dist_embed_forward_and_grad():
     # lookup + slices must receive gradient
     assert float(jnp.abs(g["lookup"]).max()) > 0
     assert float(jnp.abs(g["fsw"]["slices"]).max()) > 0
+
+
+def test_fsw_auto_slice_chunk_k9_regime():
+    """The k=9 .npy regime (N~131072 points): the auto budget must engage
+    chunking (unchunked transients would be 4*16*512*131072*4 = 17 GiB) and
+    pick a power-of-2 chunk whose transients fit FSW_SORT_BUDGET_BYTES."""
+    from kf2vecfsw_tpu.models import fsw as fswmod
+
+    chunk = fswmod._auto_slice_chunk(16, 131072, 512)
+    assert 0 < chunk < 512 and (chunk & (chunk - 1)) == 0
+    per_slice = 4 * 16 * 131072 * 4
+    assert chunk * per_slice <= fswmod.FSW_SORT_BUDGET_BYTES
+    # N=8192 (k=7 regime) stays unchunked — one fused sort
+    assert fswmod._auto_slice_chunk(16, 8192, 512) == 0
+
+
+def test_fsw_budget_forced_chunking_matches_unchunked(monkeypatch):
+    """Forcing the sort budget down must route the apply through lax.map
+    slice chunks and reproduce the unchunked forward AND parameter
+    gradients (the k=9 giant-clade path, exercised at small dims)."""
+    from kf2vecfsw_tpu.models import fsw as fswmod
+
+    key = jax.random.PRNGKey(11)
+    k, base_dim, fswout, H, E = 4, 3, 64, 16, 8
+    B, N = 3, 32
+    params = fswmod.init_fsw_dist_embed(key, k, base_dim, fswout, H, E)
+    kmers = jax.random.randint(key, (B, N, k), 0, 4).astype(jnp.float32)
+    w = jax.random.uniform(key, (B, N, 1))
+    X = jnp.concatenate([kmers, w], axis=-1)
+
+    def loss(p, chunk):
+        return jnp.sum(fswmod.fsw_dist_embed_apply(p, X, slice_chunk=chunk) ** 2)
+
+    out_ref = fswmod.fsw_dist_embed_apply(params, X, slice_chunk=0)
+    g_ref = jax.grad(lambda p: loss(p, 0))(params)
+
+    # budget that allows only 32 slices per chunk (the floor)
+    per_slice = 4 * B * N * 4
+    monkeypatch.setattr(fswmod, "FSW_SORT_BUDGET_BYTES", per_slice * 32)
+    auto = fswmod._auto_slice_chunk(B, N, fswout)
+    assert auto == 32
+    out_c = fswmod.fsw_dist_embed_apply(params, X)  # slice_chunk=None -> auto
+    g_c = jax.grad(lambda p: loss(p, auto))(params)
+    assert np.allclose(np.asarray(out_ref), np.asarray(out_c), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_c)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4), (
+            np.abs(np.asarray(a) - np.asarray(b)).max()
+        )
