@@ -238,3 +238,46 @@ def test_torch_checkpoint_import(tmp_path):
         h = torch.relu(torch.from_numpy(x) @ sd["fc1.weight"].T + sd["fc1.bias"])
         ref = (h @ sd["fc2.weight"].T + sd["fc2.bias"]).numpy()
     assert np.allclose(ours, ref, atol=1e-5)
+
+
+def test_fsw_runner_mesh_invariance_model_axis_sharded_sort():
+    """FSW training over (1,1) / (8,1) / (4,2) / (2,4) meshes must produce
+    the same losses: with slices sharded P(model, None) inside shard_map,
+    each model shard sorts only its local (B, C/n_model, N) projection block
+    — the sort is genuinely model-axis-sharded — and the psum after fc1
+    reassembles the same math as the replicated run."""
+    from kf2vecfsw_tpu.models.fsw import (
+        fsw_dist_embed_apply,
+        fsw_dist_embed_specs,
+        init_fsw_dist_embed,
+    )
+
+    key = jax.random.PRNGKey(3)
+    k, base_dim, fswout, H, E, n, npts = 3, 2, 16, 16, 8, 8, 12
+    kmers = jax.random.randint(key, (n, npts, k), 0, 4).astype(jnp.float32)
+    w = jax.random.uniform(jax.random.fold_in(key, 1), (n, npts, 1))
+    feats = np.asarray(jnp.concatenate([kmers, w], axis=-1))
+    d = np.abs(np.random.default_rng(0).normal(size=(n, n))).astype(np.float32)
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+
+    def losses_for(mesh_shape):
+        mesh = make_mesh(*mesh_shape)
+        params = init_fsw_dist_embed(key, k, base_dim, fswout, H, E)
+        specs = fsw_dist_embed_specs(MODEL_AXIS)
+        params = shard_params(params, specs, mesh)
+        opt = adam_init(params)
+        runner = DistanceEpochRunner(mesh, fsw_dist_embed_apply, specs, n, 4)
+        losses = []
+        for e in range(6):
+            params, opt, loss = runner.run_epoch(
+                params, opt, jnp.asarray(feats), jnp.asarray(d),
+                jax.random.fold_in(key, e), 1e-3,
+            )
+            losses.append(float(loss))
+        return losses
+
+    ref = losses_for((1, 1))
+    assert ref[-1] < ref[0]
+    for shape in [(8, 1), (4, 2), (2, 4)]:
+        assert np.allclose(losses_for(shape), ref, rtol=1e-2), shape
