@@ -151,6 +151,18 @@ class KmerCounter:
             return False
 
     def _device_count(self, codes: np.ndarray) -> np.ndarray:
+        if self.k > self.max_device_k:
+            # k-independent sorted path (sort + vocab-boundary searchsorted):
+            # the MXU one-hot histogram's per-window cost is O(4^k) and loses
+            # catastrophically at k >= 9 (23 MB/s at k=11)
+            from ..kernels.histogram import (
+                count_canonical_device_sorted_async,
+                finalize_device_counts_sorted,
+            )
+
+            return finalize_device_counts_sorted(
+                count_canonical_device_sorted_async(codes, self.k), self.k
+            )
         from ..kernels.histogram import count_canonical_device
 
         return count_canonical_device(codes, self.k)
@@ -178,6 +190,10 @@ class KmerCounter:
     def count_begin(self, seqs: list[np.ndarray]):
         codes = concat_with_separators(seqs, self.k)
         if self._use_device(codes.size) and self.k >= 4:
+            if self.k > self.max_device_k:
+                from ..kernels.histogram import count_canonical_device_sorted_async
+
+                return ("device_sorted", count_canonical_device_sorted_async(codes, self.k))
             from ..kernels.histogram import count_canonical_device_async
 
             return ("device", count_canonical_device_async(codes, self.k))
@@ -209,29 +225,45 @@ class KmerCounter:
         by_bucket: dict[int, list[int]] = {}
         for i in dev_idx:
             by_bucket.setdefault(_bucket_bases(codes_all[i].size), []).append(i)
+        sorted_path = self.k > self.max_device_k  # k-independent sorted counting
         for group in by_bucket.values():
             if len(group) > 1:
-                acc = count_canonical_device_batch_async(
-                    [codes_all[i] for i in group], self.k
-                )
-                for slot, i in enumerate(group):
-                    tokens[i] = ("devbatch", (acc, slot))
-            else:
-                from ..kernels.histogram import count_canonical_device_async
+                if sorted_path:
+                    from ..kernels.histogram import count_canonical_device_sorted_batch_async
 
+                    acc = count_canonical_device_sorted_batch_async(
+                        [codes_all[i] for i in group], self.k
+                    )
+                    for slot, i in enumerate(group):
+                        tokens[i] = ("devbatch_sorted", (acc, slot))
+                else:
+                    acc = count_canonical_device_batch_async(
+                        [codes_all[i] for i in group], self.k
+                    )
+                    for slot, i in enumerate(group):
+                        tokens[i] = ("devbatch", (acc, slot))
+            else:
                 i = group[0]
-                tokens[i] = ("device", count_canonical_device_async(codes_all[i], self.k))
+                tokens[i] = self._begin_single(codes_all[i])
         for i, c in enumerate(codes_all):
             if tokens[i] is None:
                 if self._use_device(c.size) and self.k >= 4:
                     # device-eligible but too long for the batch bucket:
                     # chunked single-genome device path
-                    from ..kernels.histogram import count_canonical_device_async
-
-                    tokens[i] = ("device", count_canonical_device_async(c, self.k))
+                    tokens[i] = self._begin_single(c)
                 else:
                     tokens[i] = ("host", self._host_count(c))
         return tokens
+
+    def _begin_single(self, codes: np.ndarray):
+        """Single-genome device token (MXU histogram or sorted path by k)."""
+        if self.k > self.max_device_k:
+            from ..kernels.histogram import count_canonical_device_sorted_async
+
+            return ("device_sorted", count_canonical_device_sorted_async(codes, self.k))
+        from ..kernels.histogram import count_canonical_device_async
+
+        return ("device", count_canonical_device_async(codes, self.k))
 
     def count_finish(self, token) -> np.ndarray:
         kind, payload = token
@@ -239,6 +271,15 @@ class KmerCounter:
             from ..kernels.histogram import finalize_device_counts
 
             return finalize_device_counts(payload, self.k)
+        if kind == "device_sorted":
+            from ..kernels.histogram import finalize_device_counts_sorted
+
+            return finalize_device_counts_sorted(payload, self.k)
+        if kind == "devbatch_sorted":
+            from ..kernels.histogram import finalize_device_counts_sorted
+
+            acc, slot = payload
+            return finalize_device_counts_sorted(acc[slot], self.k)
         return payload
 
     def count_finish_batch(self, tokens: list) -> list[np.ndarray]:
@@ -265,10 +306,46 @@ class KmerCounter:
                 hists = finalize_device_counts_batch_array(acc, self.k)
                 for i, slot in members:
                     results[i] = hists[slot]
+        # sorted-path tokens: fetch vocab counts, densify on host
+        sorted_vc = self._sorted_vocab_counts_batch(tokens)
+        if sorted_vc:
+            from ..kmer.vocab import canonical_vocab_codes
+
+            vocab = canonical_vocab_codes(self.k)
+            for i, vc in sorted_vc.items():
+                dense = np.zeros(4**self.k, dtype=np.int64)
+                dense[vocab] = vc.astype(np.int64)
+                results[i] = dense
         for i, (kind, payload) in enumerate(tokens):
             if kind == "host":
                 results[i] = payload
         return results  # type: ignore[return-value]
+
+    def _sorted_vocab_counts_batch(self, tokens: list) -> dict[int, np.ndarray]:
+        """Fetch all sorted-path tokens' (V,) vocab-aligned counts: batched
+        accs are fetched once per shared array, singles in one stacked
+        transfer when possible."""
+        out: dict[int, np.ndarray] = {}
+        singles = [i for i, (kind, _) in enumerate(tokens) if kind == "device_sorted"]
+        if singles:
+            if len(singles) == 1:
+                out[singles[0]] = np.asarray(tokens[singles[0]][1])
+            else:
+                from ..kernels.histogram import _stack_jit
+
+                host = np.asarray(_stack_jit(tuple(tokens[i][1] for i in singles)))
+                for j, i in enumerate(singles):
+                    out[i] = host[j]
+        groups: dict[int, tuple] = {}
+        for i, (kind, payload) in enumerate(tokens):
+            if kind == "devbatch_sorted":
+                acc, slot = payload
+                groups.setdefault(id(acc), (acc, []))[1].append((i, slot))
+        for acc, members in groups.values():
+            host = np.asarray(acc)
+            for i, slot in members:
+                out[i] = host[slot]
+        return out
 
     def _require_vocab(self) -> None:
         if self.vocab is None:
@@ -280,11 +357,26 @@ class KmerCounter:
 
     def feature_vector_finish(self, token) -> np.ndarray:
         self._require_vocab()
+        kind = token[0]
+        if kind in ("device_sorted", "devbatch_sorted"):
+            # sorted-path counts are ALREADY in canonical-vocab order:
+            # skip the densify + re-gather round trip
+            vc = self._sorted_vocab_counts_batch([token])[0]
+            return vc.astype(np.float64)
         return self.count_finish(token)[self.vocab].astype(np.float64)
 
     def feature_vector_finish_batch(self, tokens: list) -> list[np.ndarray]:
         self._require_vocab()
-        return [h[self.vocab].astype(np.float64) for h in self.count_finish_batch(tokens)]
+        sorted_vc = self._sorted_vocab_counts_batch(tokens)
+        dense_tokens = [t for i, t in enumerate(tokens) if i not in sorted_vc]
+        dense_iter = iter(self.count_finish_batch(dense_tokens))
+        out: list[np.ndarray] = []
+        for i, _ in enumerate(tokens):
+            if i in sorted_vc:
+                out.append(sorted_vc[i].astype(np.float64))
+            else:
+                out.append(next(dense_iter)[self.vocab].astype(np.float64))
+        return out
 
     def feature_vector(self, seqs: list[np.ndarray]) -> np.ndarray:
         """Counts in canonical-vocab order (the `.kf` column order), float64."""

@@ -57,12 +57,16 @@ def _sort_pw(p, w):
     makes the backward a 2-operand int32-keyed sort (the minimal permutation
     inversion) rather than round 2's 3-operand one. Do not reuse this
     primitive somewhere weights need gradients."""
-    return jax.lax.sort((p, w), dimension=-1, num_keys=1)
+    return jax.lax.sort((p, w), dimension=-1, is_stable=False, num_keys=1)
 
 
 def _sort_pw_fwd(p, w):
+    # is_stable=False: measured ~20-30% faster on TPU than the stable sort
+    # at (16,512,8192). Safe here — ties between f32 projections are
+    # measure-zero, and perm/ws/ps come from the SAME sort call so they are
+    # mutually consistent whatever tie order the network picked.
     iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
-    ps, ws, perm = jax.lax.sort((p, w, iota), dimension=-1, num_keys=1)
+    ps, ws, perm = jax.lax.sort((p, w, iota), dimension=-1, is_stable=False, num_keys=1)
     return (ps, ws), perm
 
 
@@ -71,9 +75,10 @@ def _sort_pw_bwd(perm, cts):
     # unique integer keys restores original positions in ONE extra sort —
     # 6x faster than XLA's autodiff scatter for the sort primitive; the
     # weight cotangent is dropped (see _sort_pw docstring), saving a third
-    # sorted operand
+    # sorted operand, and the keys are all-distinct so the unstable sort
+    # (measured 64 vs 80 ms) is exact
     d_ps, d_ws = cts
-    _, d_p = jax.lax.sort((perm, d_ps), dimension=-1, num_keys=1)
+    _, d_p = jax.lax.sort((perm, d_ps), dimension=-1, is_stable=False, num_keys=1)
     return d_p, jnp.zeros_like(d_ws)
 
 

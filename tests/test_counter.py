@@ -200,3 +200,65 @@ def test_batched_dispatch_mixed_host_and_device(monkeypatch):
     assert np.array_equal(hists[0], count_canonical_numpy(big[0], k))
     assert np.array_equal(hists[1], count_canonical_numpy(small[0], k))
     assert np.array_equal(hists[2], hists[0])
+
+
+def test_sorted_device_path_matches_numpy():
+    """The k-independent sorted counting path (sort + vocab-boundary
+    searchsorted): exact parity with the numpy counter at k=5 and k=9,
+    single-genome chunked AND batched dispatch."""
+    from kf2vecfsw_tpu.kernels.histogram import (
+        count_canonical_device_sorted_async,
+        count_canonical_device_sorted_batch_async,
+        finalize_device_counts_sorted,
+    )
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes
+
+    rng = np.random.default_rng(11)
+    genomes = []
+    for _ in range(3):
+        seq = rng.choice(list(b"ACGTN"), size=50_000, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+        genomes.append(encode_bases(seq.tobytes()))
+    for k in (5, 9):
+        for g in genomes:
+            dense = finalize_device_counts_sorted(
+                count_canonical_device_sorted_async(g, k), k
+            )
+            assert np.array_equal(dense, count_canonical_numpy(g, k)), k
+        acc = count_canonical_device_sorted_batch_async(genomes, k)
+        vocab = canonical_vocab_codes(k)
+        host = np.asarray(acc)
+        for i, g in enumerate(genomes):
+            ref = count_canonical_numpy(g, k)
+            assert np.array_equal(host[i], ref[vocab]), (k, i)
+
+
+def test_sorted_path_via_counter_tokens(monkeypatch):
+    """KmerCounter routes k > max_device_k to the sorted path under forced
+    tpu backend: count_begin/count_finish, the batched dispatch and the
+    vocab-aligned feature_vector fast path all agree with numpy."""
+    monkeypatch.setenv("KF2VEC_COUNT_BACKEND", "tpu")
+    from kf2vecfsw_tpu.kmer.counter import KmerCounter, concat_with_separators
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes
+
+    rng = np.random.default_rng(12)
+    seqs = []
+    for _ in range(3):
+        seq = rng.choice(list(b"ACGTN"), size=30_000, p=[0.24, 0.26, 0.25, 0.24, 0.01]).astype(np.uint8)
+        seqs.append(encode_bases(seq.tobytes()))
+    k = 9
+    counter = KmerCounter(k)
+    assert counter.max_device_k < k  # the sorted path is the one engaged
+    tok = counter.count_begin([seqs[0]])
+    assert tok[0] == "device_sorted"
+    ref = count_canonical_numpy(concat_with_separators([seqs[0]], k), k)
+    assert np.array_equal(counter.count_finish(tok), ref)
+    # batched: one devbatch_sorted dispatch for all three
+    toks = counter.count_begin_batch([[s] for s in seqs])
+    assert all(t[0] in ("devbatch_sorted", "device_sorted") for t in toks)
+    hists = counter.count_finish_batch(toks)
+    fvs = counter.feature_vector_finish_batch(toks)
+    vocab = canonical_vocab_codes(k)
+    for s, h, fv in zip(seqs, hists, fvs):
+        r = count_canonical_numpy(concat_with_separators([s], k), k)
+        assert np.array_equal(h, r)
+        assert np.array_equal(fv, r[vocab].astype(np.float64))
