@@ -69,6 +69,49 @@ def bench_train_steps() -> float:
     return steps / dt
 
 
+def bench_fsw() -> dict:
+    """NeuralNetFSW train step at the reference flagship FSW config
+    (k=7, base_dim=4, d_out=512, H=2048, E=1024, B=16, N=8192 full point
+    sets). The step is sort-bound: one 3-operand unstable sort forward + one
+    2-operand int32-keyed unstable inverse-sort backward (models/fsw.py)."""
+    from kf2vecfsw_tpu.models.fsw import fsw_dist_embed_apply, init_fsw_dist_embed
+    from kf2vecfsw_tpu.ops.losses import weighted_sqrt_mse
+    from kf2vecfsw_tpu.ops.pairwise import pairwise_l2_exact
+    from kf2vecfsw_tpu.train.step import adam_init, adam_update
+
+    B, N = 16, 8192
+    k, base_dim, fswout, H, E = 7, 4, 512, 2048, 1024
+    params = init_fsw_dist_embed(jax.random.PRNGKey(3), k, base_dim, fswout, H, E)
+    kmers = jax.random.randint(jax.random.PRNGKey(4), (B, N, k), 0, 4).astype(jnp.float32)
+    wts = jax.random.uniform(jax.random.PRNGKey(5), (B, N, 1))
+    X = jnp.concatenate([kmers, wts], axis=-1)
+    td = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (B, B)))
+    td = td + td.T
+
+    def loss(p):
+        emb = fsw_dist_embed_apply(p, X)
+        md = pairwise_l2_exact(emb)
+        return weighted_sqrt_mse(md, td, jnp.ones((B, B), bool), 1e-6)
+
+    opt = adam_init(params)
+
+    @jax.jit
+    def step(params, opt):
+        lv, g = jax.value_and_grad(loss)(params)
+        params, opt = adam_update(params, g, opt, jnp.float32(1e-4))
+        return params, opt, lv
+
+    params, opt, lv = step(params, opt)
+    float(lv)  # warm/compile
+    best = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        params, opt, lv = step(params, opt)
+        float(lv)
+        best = min(best, time.perf_counter() - t0)
+    return {"fsw_steps_per_s": round(1.0 / best, 3), "fsw_step_ms": round(best * 1e3, 2)}
+
+
 def bench_vectorization() -> dict:
     """k=7 genome -> .kf vector throughput per counting backend:
     - auto: what get_frequencies actually uses on this rig (link-probed)
@@ -157,6 +200,33 @@ def bench_vectorization() -> dict:
         np.asarray(H._count_batch_jit(pd11, idv11, 11, use_int8, False)[0, :8])
         dt11 = min(dt11, (time.perf_counter() - t0) / g11)
 
+    # k-independent SORTED device path (sort + vocab-boundary searchsorted)
+    # at k=9 and k=11, device-resident inputs, 5 Mb genome — vs the host
+    # counter per-core on the same bytes (the round-2 verdict's crossover
+    # ask: on-chip >= host-per-core at k >= 9)
+    sorted_stats = {}
+    packed5, inv5, _ = H.pack_2bit(codes)
+    pd5, iv5 = jax.device_put(packed5), jax.device_put(inv5)
+    np.asarray(pd5[:8])
+    for kk in (9, 11):
+        bounds = H._vocab_bounds(kk)
+        np.asarray(H._count_sorted_jit(pd5, iv5, bounds, kk)[:4])  # warm
+        dts = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(H._count_sorted_jit(pd5, iv5, bounds, kk)[:4])
+            dts = min(dts, time.perf_counter() - t0)
+        hostk = KmerCounter(kk)
+        t0 = time.perf_counter()
+        hostk._host_count(codes)
+        dth = time.perf_counter() - t0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            hostk._host_count(codes)
+            dth = min(dth, time.perf_counter() - t0)
+        sorted_stats[f"vectorization_tpu_sorted_k{kk}_mb_per_s"] = round(genome_mb / dts, 2)
+        sorted_stats[f"vectorization_host_k{kk}_mb_per_s"] = round(genome_mb / dth, 2)
+
     t0 = time.perf_counter()
     hist = count_canonical_numpy(codes, 7)
     vec = hist[vocab].astype(np.float64)
@@ -169,6 +239,7 @@ def bench_vectorization() -> dict:
         "vectorization_tpu_kernel_genomes_per_s": round(1.0 / dt_chip, 3),
         "vectorization_tpu_e2e_genomes_per_s": round(1.0 / dt_e2e, 3),
         "vectorization_tpu_k11_mb_per_s": round(1.0 / dt11, 3),
+        **sorted_stats,
         "vectorization_link_mbps": round(H.link_bandwidth_mbps(), 1),
         "vectorization_numpy_genomes_per_s": round(1.0 / dt_cpu, 3),
     }
@@ -305,7 +376,8 @@ def bench_serving() -> dict:
 
 def main():
     steps_per_s = bench_train_steps()
-    extra = bench_vectorization()
+    extra = bench_fsw()
+    extra.update(bench_vectorization())
     extra.update(bench_chunks())
     extra.update(bench_serving())
     result = {
