@@ -72,9 +72,16 @@ def bench_train_steps() -> float:
 def bench_fsw() -> dict:
     """NeuralNetFSW train step at the reference flagship FSW config
     (k=7, base_dim=4, d_out=512, H=2048, E=1024, B=16, N=8192 full point
-    sets). The step is sort-bound: one 3-operand unstable sort forward + one
-    2-operand int32-keyed unstable inverse-sort backward (models/fsw.py)."""
-    from kf2vecfsw_tpu.models.fsw import fsw_dist_embed_apply, init_fsw_dist_embed
+    sets — at k=7 the full vocab, so the trainer takes the shared-vocab
+    path: ONE (B+1)-operand sort forward + ONE 2-operand int32-keyed
+    unsort backward for the whole batch (models/fsw.py:_sort_shared).
+    The per-genome path (B independent sorts; queries/short contigs) is
+    reported alongside."""
+    from kf2vecfsw_tpu.models.fsw import (
+        fsw_dist_embed_apply,
+        init_fsw_dist_embed,
+        make_fsw_shared_apply,
+    )
     from kf2vecfsw_tpu.ops.losses import weighted_sqrt_mse
     from kf2vecfsw_tpu.ops.pairwise import pairwise_l2_exact
     from kf2vecfsw_tpu.train.step import adam_init, adam_update
@@ -85,31 +92,45 @@ def bench_fsw() -> dict:
     kmers = jax.random.randint(jax.random.PRNGKey(4), (B, N, k), 0, 4).astype(jnp.float32)
     wts = jax.random.uniform(jax.random.PRNGKey(5), (B, N, 1))
     X = jnp.concatenate([kmers, wts], axis=-1)
+    W = jax.random.uniform(jax.random.PRNGKey(7), (B, N))  # vocab-aligned weights
     td = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (B, B)))
     td = td + td.T
+    shared_apply = make_fsw_shared_apply(k)
 
-    def loss(p):
-        emb = fsw_dist_embed_apply(p, X)
-        md = pairwise_l2_exact(emb)
-        return weighted_sqrt_mse(md, td, jnp.ones((B, B), bool), 1e-6)
+    def make_step(apply_fn, feats):
+        def loss(p):
+            emb = apply_fn(p, feats)
+            md = pairwise_l2_exact(emb)
+            return weighted_sqrt_mse(md, td, jnp.ones((B, B), bool), 1e-6)
 
-    opt = adam_init(params)
+        @jax.jit
+        def step(params, opt):
+            lv, g = jax.value_and_grad(loss)(params)
+            params, opt = adam_update(params, g, opt, jnp.float32(1e-4))
+            return params, opt, lv
 
-    @jax.jit
-    def step(params, opt):
-        lv, g = jax.value_and_grad(loss)(params)
-        params, opt = adam_update(params, g, opt, jnp.float32(1e-4))
-        return params, opt, lv
+        return step
 
-    params, opt, lv = step(params, opt)
-    float(lv)  # warm/compile
-    best = float("inf")
-    for _ in range(8):
-        t0 = time.perf_counter()
-        params, opt, lv = step(params, opt)
-        float(lv)
-        best = min(best, time.perf_counter() - t0)
-    return {"fsw_steps_per_s": round(1.0 / best, 3), "fsw_step_ms": round(best * 1e3, 2)}
+    out = {}
+    for name, step in (
+        ("shared", make_step(lambda p, x: shared_apply(p, x), W)),
+        ("pergenome", make_step(lambda p, x: fsw_dist_embed_apply(p, x), X)),
+    ):
+        params_i, opt = params, adam_init(params)
+        params_i, opt, lv = step(params_i, opt)
+        float(lv)  # warm/compile
+        best = float("inf")
+        for _ in range(8):
+            t0 = time.perf_counter()
+            params_i, opt, lv = step(params_i, opt)
+            float(lv)
+            best = min(best, time.perf_counter() - t0)
+        out[name] = best
+    return {
+        "fsw_steps_per_s": round(1.0 / out["shared"], 3),
+        "fsw_step_ms": round(out["shared"] * 1e3, 2),
+        "fsw_pergenome_step_ms": round(out["pergenome"] * 1e3, 2),
+    }
 
 
 def bench_vectorization() -> dict:
@@ -200,21 +221,22 @@ def bench_vectorization() -> dict:
         np.asarray(H._count_batch_jit(pd11, idv11, 11, use_int8, False)[0, :8])
         dt11 = min(dt11, (time.perf_counter() - t0) / g11)
 
-    # k-independent SORTED device path (sort + vocab-boundary searchsorted)
-    # at k=9 and k=11, device-resident inputs, 5 Mb genome — vs the host
-    # counter per-core on the same bytes (the round-2 verdict's crossover
-    # ask: on-chip >= host-per-core at k >= 9)
-    sorted_stats = {}
+    # k-FREE device path (dense scatter-add histogram + vocab gather) at
+    # k=9/11/13, device-resident inputs, 5 Mb genome — vs the host counter
+    # per-core on the same bytes (the round-2 verdict's crossover ask:
+    # on-chip >= host-per-core at k >= 9; the chip is flat in k, the host
+    # falls off a cliff once the 4^k histogram spills cache at k >= 10)
+    kfree_stats = {}
     packed5, inv5, _ = H.pack_2bit(codes)
     pd5, iv5 = jax.device_put(packed5), jax.device_put(inv5)
     np.asarray(pd5[:8])
-    for kk in (9, 11):
-        bounds = H._vocab_bounds(kk)
-        np.asarray(H._count_sorted_jit(pd5, iv5, bounds, kk)[:4])  # warm
+    for kk in (9, 11, 13):
+        vocab_dev = H._vocab_dev(kk)
+        np.asarray(H._count_kfree_jit(pd5, iv5, vocab_dev, kk)[:4])  # warm
         dts = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(H._count_sorted_jit(pd5, iv5, bounds, kk)[:4])
+            np.asarray(H._count_kfree_jit(pd5, iv5, vocab_dev, kk)[:4])
             dts = min(dts, time.perf_counter() - t0)
         hostk = KmerCounter(kk)
         t0 = time.perf_counter()
@@ -224,8 +246,8 @@ def bench_vectorization() -> dict:
             t0 = time.perf_counter()
             hostk._host_count(codes)
             dth = min(dth, time.perf_counter() - t0)
-        sorted_stats[f"vectorization_tpu_sorted_k{kk}_mb_per_s"] = round(genome_mb / dts, 2)
-        sorted_stats[f"vectorization_host_k{kk}_mb_per_s"] = round(genome_mb / dth, 2)
+        kfree_stats[f"vectorization_tpu_kfree_k{kk}_mb_per_s"] = round(genome_mb / dts, 2)
+        kfree_stats[f"vectorization_host_k{kk}_mb_per_s"] = round(genome_mb / dth, 2)
 
     t0 = time.perf_counter()
     hist = count_canonical_numpy(codes, 7)
@@ -239,7 +261,7 @@ def bench_vectorization() -> dict:
         "vectorization_tpu_kernel_genomes_per_s": round(1.0 / dt_chip, 3),
         "vectorization_tpu_e2e_genomes_per_s": round(1.0 / dt_e2e, 3),
         "vectorization_tpu_k11_mb_per_s": round(1.0 / dt11, 3),
-        **sorted_stats,
+        **kfree_stats,
         "vectorization_link_mbps": round(H.link_bandwidth_mbps(), 1),
         "vectorization_numpy_genomes_per_s": round(1.0 / dt_cpu, 3),
     }

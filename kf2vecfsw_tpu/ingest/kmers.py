@@ -31,6 +31,32 @@ def kmer_matrix(counter: KmerCounter, seqs: list[np.ndarray]) -> np.ndarray | No
     return np.column_stack((digits, freqs))
 
 
+def point_sets_to_vocab_weights(mats: list[np.ndarray], k: int) -> np.ndarray:
+    """(N_i, k+1) FSW matrices -> (n, V) canonical-vocab-aligned weights.
+
+    Inverse of kmer_matrix's encoding: each row's reference-coded digits
+    (A=0,T=1,C=2,G=3) are decoded back to the canonical base-4 code and the
+    frequency lands in that code's vocab column; absent k-mers stay 0.
+    Exact for the FSW embedding (zero-weight points are no-ops), enabling
+    the shared-vocab fast path (models/fsw.py: fsw_embed_shared)."""
+    from ..kmer.vocab import canonical_vocab_codes
+
+    vocab = canonical_vocab_codes(k)
+    inv = np.zeros(4, dtype=np.int64)
+    inv[FSW_BASE_MAP] = np.arange(4)  # reference digit -> internal base
+    W = np.zeros((len(mats), len(vocab)), dtype=np.float32)
+    for i, m in enumerate(mats):
+        digits = m[:, :k].astype(np.int64)
+        codes = np.zeros(len(m), dtype=np.int64)
+        for j in range(k):
+            codes = (codes << 2) | inv[digits[:, j]]
+        idx = np.searchsorted(vocab, codes)
+        if idx.size and not np.array_equal(vocab[np.minimum(idx, len(vocab) - 1)], codes):
+            raise ValueError("point-set rows contain non-canonical k-mer codes")
+        W[i, idx] = m[:, k]
+    return W
+
+
 def get_kmers(input_dir: str, output_dir: str, k: int = 7) -> list[str]:
     os.makedirs(output_dir, exist_ok=True)
     # all sequence formats get_frequencies accepts (the reference globbed

@@ -101,12 +101,16 @@ class KmerCounter:
     # above this k the native per-thread histograms stop paying off
     max_native_k: int = 11
     # above this k the MXU one-hot histogram's O(4^k) per-window work makes
-    # the device path lose to the host counter: measured 312 genomes/s
-    # on-chip at k=7 (vs ~240/s/core host), and the cost quadruples per +1 k
-    # while the host stays flat through k~10 — so auto uses the device at
-    # the default k=7 only (k=8..13 remain reachable via
-    # KF2VEC_COUNT_BACKEND=tpu)
+    # it lose to the host counter (measured 312 genomes/s on-chip at k=7 vs
+    # ~240/s/core host; cost quadruples per +1 k), so k > 7 uses the k-free
+    # scatter-add device path instead (kernels/histogram.py)
     max_device_k: int = 7
+    # auto backend's host window: the host's dense histogram is L2/L3
+    # resident through k=9 (4^9 u32 = 1 MB -> ~22 ms / 5 Mb genome, faster
+    # than the chip's ~58 ms scatter floor), but spills from k=10 (4 MB+)
+    # while the device scatter path stays flat in k (58-76 ms for k=9..13)
+    # — so auto counts k=8..9 on the host and k >= 10 on the chip
+    min_kfree_k: int = 10
 
     def __post_init__(self):
         self.vocab = canonical_vocab_codes(self.k) if self.k <= MAX_DENSE_K else None
@@ -132,8 +136,8 @@ class KmerCounter:
             return True
         if n_bases < self.min_device_bases:
             return False
-        if self.k > self.max_device_k:
-            return False  # auto uses the chip at k<=max_device_k (7) only
+        if self.max_device_k < self.k < self.min_kfree_k:
+            return False  # the host's cache-resident counter wins at k=8..9
         # with a real accelerator attached, the batched one-dispatch MXU path
         # beats the per-core host counter (~4.4 ms/5 Mb genome at k=7 on
         # chip) — IF the host->device link can feed it. Thin tunneled links
@@ -152,16 +156,16 @@ class KmerCounter:
 
     def _device_count(self, codes: np.ndarray) -> np.ndarray:
         if self.k > self.max_device_k:
-            # k-independent sorted path (sort + vocab-boundary searchsorted):
-            # the MXU one-hot histogram's per-window cost is O(4^k) and loses
-            # catastrophically at k >= 9 (23 MB/s at k=11)
+            # k-free scatter-add path: the MXU one-hot histogram's
+            # per-window cost is O(4^k) and loses catastrophically at
+            # k >= 9 (23 MB/s at k=11); the dense scatter is flat in k
             from ..kernels.histogram import (
-                count_canonical_device_sorted_async,
-                finalize_device_counts_sorted,
+                count_canonical_device_kfree_async,
+                finalize_device_counts_kfree,
             )
 
-            return finalize_device_counts_sorted(
-                count_canonical_device_sorted_async(codes, self.k), self.k
+            return finalize_device_counts_kfree(
+                count_canonical_device_kfree_async(codes, self.k), self.k
             )
         from ..kernels.histogram import count_canonical_device
 
@@ -191,9 +195,9 @@ class KmerCounter:
         codes = concat_with_separators(seqs, self.k)
         if self._use_device(codes.size) and self.k >= 4:
             if self.k > self.max_device_k:
-                from ..kernels.histogram import count_canonical_device_sorted_async
+                from ..kernels.histogram import count_canonical_device_kfree_async
 
-                return ("device_sorted", count_canonical_device_sorted_async(codes, self.k))
+                return ("device_kfree", count_canonical_device_kfree_async(codes, self.k))
             from ..kernels.histogram import count_canonical_device_async
 
             return ("device", count_canonical_device_async(codes, self.k))
@@ -225,17 +229,17 @@ class KmerCounter:
         by_bucket: dict[int, list[int]] = {}
         for i in dev_idx:
             by_bucket.setdefault(_bucket_bases(codes_all[i].size), []).append(i)
-        sorted_path = self.k > self.max_device_k  # k-independent sorted counting
+        kfree_path = self.k > self.max_device_k  # k-independent scatter counting
         for group in by_bucket.values():
             if len(group) > 1:
-                if sorted_path:
-                    from ..kernels.histogram import count_canonical_device_sorted_batch_async
+                if kfree_path:
+                    from ..kernels.histogram import count_canonical_device_kfree_batch_async
 
-                    acc = count_canonical_device_sorted_batch_async(
+                    acc = count_canonical_device_kfree_batch_async(
                         [codes_all[i] for i in group], self.k
                     )
                     for slot, i in enumerate(group):
-                        tokens[i] = ("devbatch_sorted", (acc, slot))
+                        tokens[i] = ("devbatch_kfree", (acc, slot))
                 else:
                     acc = count_canonical_device_batch_async(
                         [codes_all[i] for i in group], self.k
@@ -256,11 +260,11 @@ class KmerCounter:
         return tokens
 
     def _begin_single(self, codes: np.ndarray):
-        """Single-genome device token (MXU histogram or sorted path by k)."""
+        """Single-genome device token (MXU histogram or k-free path by k)."""
         if self.k > self.max_device_k:
-            from ..kernels.histogram import count_canonical_device_sorted_async
+            from ..kernels.histogram import count_canonical_device_kfree_async
 
-            return ("device_sorted", count_canonical_device_sorted_async(codes, self.k))
+            return ("device_kfree", count_canonical_device_kfree_async(codes, self.k))
         from ..kernels.histogram import count_canonical_device_async
 
         return ("device", count_canonical_device_async(codes, self.k))
@@ -271,15 +275,15 @@ class KmerCounter:
             from ..kernels.histogram import finalize_device_counts
 
             return finalize_device_counts(payload, self.k)
-        if kind == "device_sorted":
-            from ..kernels.histogram import finalize_device_counts_sorted
+        if kind == "device_kfree":
+            from ..kernels.histogram import finalize_device_counts_kfree
 
-            return finalize_device_counts_sorted(payload, self.k)
-        if kind == "devbatch_sorted":
-            from ..kernels.histogram import finalize_device_counts_sorted
+            return finalize_device_counts_kfree(payload, self.k)
+        if kind == "devbatch_kfree":
+            from ..kernels.histogram import finalize_device_counts_kfree
 
             acc, slot = payload
-            return finalize_device_counts_sorted(acc[slot], self.k)
+            return finalize_device_counts_kfree(acc[slot], self.k)
         return payload
 
     def count_finish_batch(self, tokens: list) -> list[np.ndarray]:
@@ -306,13 +310,13 @@ class KmerCounter:
                 hists = finalize_device_counts_batch_array(acc, self.k)
                 for i, slot in members:
                     results[i] = hists[slot]
-        # sorted-path tokens: fetch vocab counts, densify on host
-        sorted_vc = self._sorted_vocab_counts_batch(tokens)
-        if sorted_vc:
+        # k-free-path tokens: fetch vocab counts, densify on host
+        kfree_vc = self._kfree_vocab_counts_batch(tokens)
+        if kfree_vc:
             from ..kmer.vocab import canonical_vocab_codes
 
             vocab = canonical_vocab_codes(self.k)
-            for i, vc in sorted_vc.items():
+            for i, vc in kfree_vc.items():
                 dense = np.zeros(4**self.k, dtype=np.int64)
                 dense[vocab] = vc.astype(np.int64)
                 results[i] = dense
@@ -321,12 +325,12 @@ class KmerCounter:
                 results[i] = payload
         return results  # type: ignore[return-value]
 
-    def _sorted_vocab_counts_batch(self, tokens: list) -> dict[int, np.ndarray]:
-        """Fetch all sorted-path tokens' (V,) vocab-aligned counts: batched
+    def _kfree_vocab_counts_batch(self, tokens: list) -> dict[int, np.ndarray]:
+        """Fetch all k-free-path tokens' (V,) vocab-aligned counts: batched
         accs are fetched once per shared array, singles in one stacked
         transfer when possible."""
         out: dict[int, np.ndarray] = {}
-        singles = [i for i, (kind, _) in enumerate(tokens) if kind == "device_sorted"]
+        singles = [i for i, (kind, _) in enumerate(tokens) if kind == "device_kfree"]
         if singles:
             if len(singles) == 1:
                 out[singles[0]] = np.asarray(tokens[singles[0]][1])
@@ -338,7 +342,7 @@ class KmerCounter:
                     out[i] = host[j]
         groups: dict[int, tuple] = {}
         for i, (kind, payload) in enumerate(tokens):
-            if kind == "devbatch_sorted":
+            if kind == "devbatch_kfree":
                 acc, slot = payload
                 groups.setdefault(id(acc), (acc, []))[1].append((i, slot))
         for acc, members in groups.values():
@@ -358,22 +362,22 @@ class KmerCounter:
     def feature_vector_finish(self, token) -> np.ndarray:
         self._require_vocab()
         kind = token[0]
-        if kind in ("device_sorted", "devbatch_sorted"):
-            # sorted-path counts are ALREADY in canonical-vocab order:
+        if kind in ("device_kfree", "devbatch_kfree"):
+            # k-free-path counts are ALREADY in canonical-vocab order:
             # skip the densify + re-gather round trip
-            vc = self._sorted_vocab_counts_batch([token])[0]
+            vc = self._kfree_vocab_counts_batch([token])[0]
             return vc.astype(np.float64)
         return self.count_finish(token)[self.vocab].astype(np.float64)
 
     def feature_vector_finish_batch(self, tokens: list) -> list[np.ndarray]:
         self._require_vocab()
-        sorted_vc = self._sorted_vocab_counts_batch(tokens)
-        dense_tokens = [t for i, t in enumerate(tokens) if i not in sorted_vc]
+        kfree_vc = self._kfree_vocab_counts_batch(tokens)
+        dense_tokens = [t for i, t in enumerate(tokens) if i not in kfree_vc]
         dense_iter = iter(self.count_finish_batch(dense_tokens))
         out: list[np.ndarray] = []
         for i, _ in enumerate(tokens):
-            if i in sorted_vc:
-                out.append(sorted_vc[i].astype(np.float64))
+            if i in kfree_vc:
+                out.append(kfree_vc[i].astype(np.float64))
             else:
                 out.append(next(dense_iter)[self.vocab].astype(np.float64))
         return out

@@ -85,6 +85,53 @@ def _sort_pw_bwd(perm, cts):
 _sort_pw.defvjp(_sort_pw_fwd, _sort_pw_bwd)
 
 
+@jax.custom_vjp
+def _sort_shared(p, wb):
+    """Sort SHARED projections once, carrying every genome's weights.
+
+    p: (C, V) — projections of the shared (canonical-vocab) point set,
+    identical for every genome in the batch; wb: (B, V) — per-genome
+    weights over the vocab (DATA: no gradient, see _sort_pw's contract).
+    Returns (ps (C, V), wsb (B, C, V)) where wsb[b] is wb[b] permuted by
+    p's per-row sort order.
+
+    This is the whole point of the shared-vocab FSW path: ONE
+    (B+1)-operand sort whose comparison cost is paid once on the keys
+    (the B weight operands just ride the permutation) replaces B
+    independent 2-operand sorts — measured 39 ms vs 91 ms at
+    (B=16, C=512, V=8192) on v5e — and because ps is shared, autodiff
+    hands the backward a single batch-summed cotangent, so the backward
+    is ONE 2-operand int32-keyed unsort instead of B of them."""
+    ops = (p,) + tuple(
+        jnp.broadcast_to(wb[b][None, :], p.shape) for b in range(wb.shape[0])
+    )
+    res = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
+    return res[0], jnp.stack(res[1:])
+
+
+def _sort_shared_fwd(p, wb):
+    iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+    ops = (
+        (p,)
+        + tuple(jnp.broadcast_to(wb[b][None, :], p.shape) for b in range(wb.shape[0]))
+        + (iota,)
+    )
+    res = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
+    return (res[0], jnp.stack(res[1:-1])), (res[-1], wb)
+
+
+def _sort_shared_bwd(residual, cts):
+    perm, wb = residual
+    d_ps, _d_wsb = cts  # weight cotangent dropped (data; see _sort_pw)
+    # d_ps is ALREADY summed over the batch by autodiff (every genome reads
+    # the same ps), so one 2-operand unsort restores original positions
+    _, d_p = jax.lax.sort((perm, d_ps), dimension=-1, is_stable=False, num_keys=1)
+    return d_p, jnp.zeros_like(wb)
+
+
+_sort_shared.defvjp(_sort_shared_fwd, _sort_shared_bwd)
+
+
 def init_fsw_params(key, d_in: int, d_out: int):
     """Slices (d_out, d_in) with blockwise-orthonormal init + even freqs."""
     keys = jax.random.split(key, -(-d_out // d_in) + 1)
@@ -147,6 +194,48 @@ def fsw_embed(fsw_params, points, weights, slice_chunk: int = 0):
     return out.reshape(-1)[:d_out]
 
 
+def fsw_embed_shared(fsw_params, points, weights, slice_chunk: int = 0):
+    """FSW embedding of B weighted point sets SHARING one point matrix.
+
+    points: (V, d_in) — one shared point set (the canonical vocab under the
+    lookup); weights: (B, V) nonnegative per-genome weights (zeros = absent
+    k-mers). Returns (B, d_out).
+
+    Exactly equal (up to float summation order) to vmapping `fsw_embed`
+    over per-genome point sets: the sinc quantile form is insensitive to
+    zero-weight points, so padding each genome's set out to the full vocab
+    changes nothing — but it makes the projections (C, V) identical across
+    the batch, collapsing B sorts into one (see _sort_shared).
+    """
+    slices = fsw_params["slices"]
+    freqs = fsw_params["freqs"]
+    d_out = slices.shape[0]
+    total = jnp.maximum(weights.sum(axis=-1, keepdims=True), 1e-30)
+    wn = weights / total  # (B, V)
+
+    def chunk_fn(args):
+        v, xi = args  # (C, d_in), (C,)
+        p = v @ points.T  # (C, V), shared across the batch
+        ps, wsb = _sort_shared(p, wn)  # (C, V), (B, C, V)
+        cs = jnp.cumsum(wsb, axis=-1)
+        cbar = cs - wsb / 2.0
+        x = xi[None, :, None]
+        delta = _SQRT2 * wsb * jnp.cos(jnp.pi * x * cbar) * jnp.sinc(x * wsb / 2.0)
+        return jnp.sum(ps[None, :, :] * delta, axis=-1)  # (B, C)
+
+    if slice_chunk <= 0 or d_out <= slice_chunk:
+        return chunk_fn((slices, freqs))
+    n_chunks = -(-d_out // slice_chunk)
+    pad = n_chunks * slice_chunk - d_out
+    sl = jnp.pad(slices, ((0, pad), (0, 0)))
+    fr = jnp.pad(freqs, (0, pad))
+    out = jax.lax.map(
+        chunk_fn,
+        (sl.reshape(n_chunks, slice_chunk, -1), fr.reshape(n_chunks, slice_chunk)),
+    )  # (n_chunks, B, Cc)
+    return jnp.moveaxis(out, 1, 0).reshape(weights.shape[0], -1)[:, :d_out]
+
+
 def init_fsw_dist_embed(
     key, k: int, base_dim: int, fswout_dim: int, hidden_size: int, embedding_size: int
 ):
@@ -203,6 +292,71 @@ def fsw_dist_embed_apply(params, X, model_axis: str | None = None, slice_chunk: 
         h = jax.lax.psum(h, model_axis)
     h = jax.nn.relu(h + params["fc1"]["b"])
     return h @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
+def fsw_dist_embed_apply_shared(
+    params, W, vocab_digits, model_axis: str | None = None, slice_chunk: int | None = None
+):
+    """Shared-vocab forward: W (B, V) vocab-aligned weights, vocab_digits
+    (V, k) reference-coded bases. Numerically equal to fsw_dist_embed_apply
+    on the equivalent per-genome point sets (zero-weight rows are exact
+    no-ops under the sinc quantile form)."""
+    B, V = W.shape
+    points = params["lookup"][vocab_digits].reshape(V, -1)
+    if slice_chunk is None:
+        slice_chunk = _auto_slice_chunk(B, V, int(params["fsw"]["slices"].shape[0]))
+    fsw_out = fsw_embed_shared(params["fsw"], points, W, slice_chunk=slice_chunk)
+    h = fsw_out @ params["fc1"]["w"]
+    if model_axis is not None:
+        h = jax.lax.psum(h, model_axis)
+    h = jax.nn.relu(h + params["fc1"]["b"])
+    return h @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
+# shared-vocab gate: V beyond this would blow the sort transients / W
+# staging (1<<18 admits k<=9, V=131,072); batch beyond this would make the
+# multi-operand sort arity unwieldy (reference FSW batch is 16)
+FSW_SHARED_VOCAB_MAX = 1 << 18
+FSW_SHARED_BATCH_MAX = 64
+
+
+def shared_vocab_applicable(k: int, n_points_bucket: int, batch: int) -> bool:
+    """Use the shared-vocab path when the vocab is small enough to carry
+    and the genomes' point sets are a large fraction of it. The crossover:
+    the shared sort moves ~(B+2)*V floats vs the per-genome path's ~3*B*N,
+    and pays its comparison cost once — so shared wins down to point sets
+    ~V/3 (full genomes at k<=9 contain nearly every canonical k-mer; short
+    contigs/queries stay on the per-genome path)."""
+    from ..kmer.vocab import MAX_DENSE_K, canonical_vocab_size
+
+    if not (1 <= k <= MAX_DENSE_K):
+        return False
+    V = canonical_vocab_size(k)
+    if V > FSW_SHARED_VOCAB_MAX or batch > FSW_SHARED_BATCH_MAX:
+        return False
+    return V <= 3 * n_points_bucket
+
+
+@functools.lru_cache(maxsize=None)
+def _vocab_digits_dev(k: int):
+    from ..kmer.vocab import FSW_BASE_MAP, canonical_vocab_codes, codes_to_digit_matrix
+
+    digits = codes_to_digit_matrix(canonical_vocab_codes(k), k, FSW_BASE_MAP)
+    return jax.device_put(digits.astype(np.int32))
+
+
+def make_fsw_shared_apply(k: int):
+    """apply_fn(params, W, model_axis=None) closing over the canonical
+    vocab digit matrix for k — drop-in for the epoch runners' apply
+    contract (train/step.py), with W rows in place of point-set tensors."""
+    digits = _vocab_digits_dev(k)
+
+    def apply_fn(params, W, model_axis=None, slice_chunk=None):
+        return fsw_dist_embed_apply_shared(
+            params, W, digits, model_axis=model_axis, slice_chunk=slice_chunk
+        )
+
+    return apply_fn
 
 
 def fsw_dist_embed_specs(model_axis: str | None):

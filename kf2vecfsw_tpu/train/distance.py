@@ -239,6 +239,28 @@ def _train_all(
             mats = [np.load(avail[g]).astype(np.float32) for g in backbone_names]
             input_size = mats[0].shape[-1]
             feats = pad_point_sets(mats)
+            # shared-vocab fast path: when the clade's point sets cover a
+            # large fraction of the canonical vocab (full genomes at k<=9),
+            # train on (n, V) vocab-aligned weights — one shared sort per
+            # batch instead of B per-genome sorts (models/fsw.py). Export
+            # keeps the per-genome `feats` (bit-exact same embeddings).
+            from ..models.fsw import make_fsw_shared_apply, shared_vocab_applicable
+
+            fsw_shared = shared_vocab_applicable(
+                input_size - 1, feats.shape[1], batch_size
+            )
+            if fsw_shared:
+                from ..ingest.kmers import point_sets_to_vocab_weights
+
+                try:
+                    train_feats = point_sets_to_vocab_weights(mats, input_size - 1)
+                except ValueError:
+                    # rows outside the canonical vocab (hand-made .npy inputs;
+                    # get_kmers never emits these) — keep the per-genome path
+                    fsw_shared = False
+                    train_feats = feats
+            else:
+                train_feats = feats
         else:
             backbone_paths = [avail[g] for g in backbone_names]
             read_names, feats = load_kf_matrix(backbone_paths)
@@ -246,6 +268,8 @@ def _train_all(
             backbone_names = read_names
             feats = feats * F32(defaults.FEATURES_SCALER)
             input_size = feats.shape[1]
+            train_feats = feats
+            fsw_shared = False
         n_items = len(backbone_names)
         log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
 
@@ -267,7 +291,12 @@ def _train_all(
             k = input_size - 1
             params = init_fsw_dist_embed(key, k, base_dim, fswout_dim, hidden_size, embedding_size)
             specs = fsw_dist_embed_specs(MODEL_AXIS)
-            apply_fn = fsw_dist_embed_apply
+            apply_fn = make_fsw_shared_apply(k) if fsw_shared else fsw_dist_embed_apply
+            if fsw_shared:
+                log.info(
+                    f"FSW shared-vocab path: V={train_feats.shape[1]} "
+                    f"(one shared sort per batch)"
+                )
             meta = {
                 "model_input_size": input_size,
                 "model_hidden_size_fc1": hidden_size,
@@ -294,7 +323,7 @@ def _train_all(
         # train on the train partition only: remap via index subset
         from .chunks import stage_replicated
 
-        feats_dev = stage_replicated(feats, mesh)
+        feats_dev = stage_replicated(train_feats, mesh)
         dist_dev = stage_replicated(dist, mesh)
         runner = DistanceEpochRunner(
             mesh, apply_fn, specs, len(train_idx), batch_size, donate=True
@@ -309,7 +338,7 @@ def _train_all(
         # Rows/cols padded to the runner's compile bucket so XLA programs
         # depend on the bucket, not the exact clade size. Subset + pad happen
         # on HOST so staging is one multi-process-safe replicated put.
-        ft = feats[train_idx] if len(train_idx) != n_items else feats
+        ft = train_feats[train_idx] if len(train_idx) != n_items else train_feats
         dt = (
             dist[np.ix_(train_idx, train_idx)] if len(train_idx) != n_items else dist
         )
@@ -446,8 +475,12 @@ def _train_all(
         )
         saved.append(ckpt_path)
 
-        # final export with the best params (train_model_set.py:602-643)
-        export_apply = lambda p, x: apply_fn(p, x, model_axis=None)  # noqa: E731
+        # final export with the best params (train_model_set.py:602-643).
+        # The export consumes the per-genome point sets even when training
+        # used the shared-vocab path (params are interchangeable between
+        # the two forwards; embeddings agree to float tolerance).
+        export_fwd = fsw_dist_embed_apply if use_fsw else apply_fn
+        export_apply = lambda p, x: export_fwd(p, x, model_axis=None)  # noqa: E731
         export_embeddings(export_apply, jax.device_get(best_params), feats, backbone_names, model_filepath, c, log)
 
         # interval snapshots also get embeddings (train_model_set.py:646-683)

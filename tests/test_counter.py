@@ -207,9 +207,9 @@ def test_sorted_device_path_matches_numpy():
     searchsorted): exact parity with the numpy counter at k=5 and k=9,
     single-genome chunked AND batched dispatch."""
     from kf2vecfsw_tpu.kernels.histogram import (
-        count_canonical_device_sorted_async,
-        count_canonical_device_sorted_batch_async,
-        finalize_device_counts_sorted,
+        count_canonical_device_kfree_async,
+        count_canonical_device_kfree_batch_async,
+        finalize_device_counts_kfree,
     )
     from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes
 
@@ -220,11 +220,11 @@ def test_sorted_device_path_matches_numpy():
         genomes.append(encode_bases(seq.tobytes()))
     for k in (5, 9):
         for g in genomes:
-            dense = finalize_device_counts_sorted(
-                count_canonical_device_sorted_async(g, k), k
+            dense = finalize_device_counts_kfree(
+                count_canonical_device_kfree_async(g, k), k
             )
             assert np.array_equal(dense, count_canonical_numpy(g, k)), k
-        acc = count_canonical_device_sorted_batch_async(genomes, k)
+        acc = count_canonical_device_kfree_batch_async(genomes, k)
         vocab = canonical_vocab_codes(k)
         host = np.asarray(acc)
         for i, g in enumerate(genomes):
@@ -249,12 +249,12 @@ def test_sorted_path_via_counter_tokens(monkeypatch):
     counter = KmerCounter(k)
     assert counter.max_device_k < k  # the sorted path is the one engaged
     tok = counter.count_begin([seqs[0]])
-    assert tok[0] == "device_sorted"
+    assert tok[0] == "device_kfree"
     ref = count_canonical_numpy(concat_with_separators([seqs[0]], k), k)
     assert np.array_equal(counter.count_finish(tok), ref)
     # batched: one devbatch_sorted dispatch for all three
     toks = counter.count_begin_batch([[s] for s in seqs])
-    assert all(t[0] in ("devbatch_sorted", "device_sorted") for t in toks)
+    assert all(t[0] in ("devbatch_kfree", "device_kfree") for t in toks)
     hists = counter.count_finish_batch(toks)
     fvs = counter.feature_vector_finish_batch(toks)
     vocab = canonical_vocab_codes(k)

@@ -220,3 +220,103 @@ def test_fsw_budget_forced_chunking_matches_unchunked(monkeypatch):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4), (
             np.abs(np.asarray(a) - np.asarray(b)).max()
         )
+
+
+# -- shared-vocab FSW path (models/fsw.py: fsw_embed_shared) -----------------
+
+
+def _rand_point_set_mats(seed, k, n_genomes, n_lo, n_hi):
+    """Random sparse FSW matrices: subsets of the canonical vocab with
+    normalized frequencies, in the exact get_kmers (N, k+1) encoding."""
+    from kf2vecfsw_tpu.kmer.vocab import (
+        FSW_BASE_MAP,
+        canonical_vocab_codes,
+        codes_to_digit_matrix,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = canonical_vocab_codes(k)
+    mats = []
+    for _ in range(n_genomes):
+        n = int(rng.integers(n_lo, n_hi + 1))
+        sel = np.sort(rng.choice(len(vocab), size=n, replace=False))
+        digits = codes_to_digit_matrix(vocab[sel], k, FSW_BASE_MAP).astype(np.float32)
+        freqs = rng.random(n).astype(np.float32) + 0.01
+        freqs /= freqs.sum()
+        mats.append(np.column_stack((digits, freqs.astype(np.float32))))
+    return mats
+
+
+def test_fsw_shared_matches_pergenome_forward_and_grad():
+    """The shared-vocab forward (one sort for the whole batch) must
+    reproduce the per-genome forward AND all parameter gradients: zero
+    weights on absent k-mers are exact no-ops in the sinc quantile form."""
+    from kf2vecfsw_tpu.ingest.kmers import point_sets_to_vocab_weights
+    from kf2vecfsw_tpu.models import fsw as fswmod
+    from kf2vecfsw_tpu.train.distance import pad_point_sets
+
+    k, base_dim, fswout, H, E = 4, 3, 48, 16, 8
+    mats = _rand_point_set_mats(0, k, 3, 40, 100)
+    X = jnp.asarray(pad_point_sets(mats))
+    W = jnp.asarray(point_sets_to_vocab_weights(mats, k))
+    params = fswmod.init_fsw_dist_embed(jax.random.PRNGKey(5), k, base_dim, fswout, H, E)
+    shared_apply = fswmod.make_fsw_shared_apply(k)
+
+    out_pg = fswmod.fsw_dist_embed_apply(params, X)
+    out_sh = shared_apply(params, W)
+    assert np.allclose(np.asarray(out_pg), np.asarray(out_sh), atol=1e-4), (
+        np.abs(np.asarray(out_pg) - np.asarray(out_sh)).max()
+    )
+
+    g_pg = jax.grad(lambda p: jnp.sum(fswmod.fsw_dist_embed_apply(p, X) ** 2))(params)
+    g_sh = jax.grad(lambda p: jnp.sum(shared_apply(p, W) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_pg), jax.tree.leaves(g_sh)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3), (
+            np.abs(np.asarray(a) - np.asarray(b)).max()
+        )
+
+
+def test_fsw_shared_slice_chunking_equivalence():
+    from kf2vecfsw_tpu.ingest.kmers import point_sets_to_vocab_weights
+    from kf2vecfsw_tpu.models import fsw as fswmod
+
+    k, base_dim, fswout = 4, 3, 48
+    mats = _rand_point_set_mats(1, k, 2, 30, 60)
+    W = jnp.asarray(point_sets_to_vocab_weights(mats, k))
+    params = fswmod.init_fsw_dist_embed(jax.random.PRNGKey(6), k, base_dim, fswout, 16, 8)
+    digits = fswmod._vocab_digits_dev(k)
+    e1 = fswmod.fsw_dist_embed_apply_shared(params, W, digits, slice_chunk=16)
+    e2 = fswmod.fsw_dist_embed_apply_shared(params, W, digits, slice_chunk=0)
+    assert np.allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+
+def test_shared_vocab_gate():
+    from kf2vecfsw_tpu.models.fsw import shared_vocab_applicable
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_size
+
+    # flagship: k=7, full-genome point sets (N ~ V=8192) -> shared
+    assert shared_vocab_applicable(7, 8192, 16)
+    # k=9 full genomes (N ~ V=131072) -> shared
+    assert shared_vocab_applicable(9, 131072, 16)
+    # short contigs: point sets a tiny fraction of the vocab -> per-genome
+    assert not shared_vocab_applicable(7, 512, 16)
+    # k=10 vocab exceeds the transient budget -> per-genome
+    assert canonical_vocab_size(10) > 1 << 18
+    assert not shared_vocab_applicable(10, 4 << 20, 16)
+    # giant batches would make the sort arity unwieldy -> per-genome
+    assert not shared_vocab_applicable(7, 8192, 256)
+
+
+def test_point_sets_to_vocab_weights_roundtrip():
+    """Every (digits, freq) row must land in its own vocab column with the
+    exact frequency, and absent columns stay zero."""
+    from kf2vecfsw_tpu.ingest.kmers import point_sets_to_vocab_weights
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_size
+
+    k = 3
+    mats = _rand_point_set_mats(2, k, 4, 5, 20)
+    W = point_sets_to_vocab_weights(mats, k)
+    assert W.shape == (4, canonical_vocab_size(k))
+    for i, m in enumerate(mats):
+        assert np.isclose(W[i].sum(), m[:, k].sum())
+        assert (W[i] > 0).sum() == m.shape[0]

@@ -281,3 +281,50 @@ def test_fsw_runner_mesh_invariance_model_axis_sharded_sort():
     assert ref[-1] < ref[0]
     for shape in [(8, 1), (4, 2), (2, 4)]:
         assert np.allclose(losses_for(shape), ref, rtol=1e-2), shape
+
+
+def test_fsw_shared_runner_matches_pergenome_and_meshes():
+    """The shared-vocab FSW apply must reproduce the per-genome runner's
+    epoch losses batch-for-batch (same seed -> same permutations), and be
+    mesh-invariant incl. model-axis sharding (the captured vocab-digit
+    constant must behave as replicated inside shard_map)."""
+    from kf2vecfsw_tpu.ingest.kmers import point_sets_to_vocab_weights
+    from kf2vecfsw_tpu.models.fsw import (
+        fsw_dist_embed_apply,
+        fsw_dist_embed_specs,
+        init_fsw_dist_embed,
+        make_fsw_shared_apply,
+    )
+    from kf2vecfsw_tpu.train.distance import pad_point_sets
+    from tests.test_models import _rand_point_set_mats
+
+    key = jax.random.PRNGKey(7)
+    k, base_dim, fswout, H, E, n = 4, 2, 16, 16, 8, 8
+    mats = _rand_point_set_mats(3, k, n, 90, 130)  # V(k=4)=136: near-full sets
+    feats_pg = pad_point_sets(mats)
+    W = point_sets_to_vocab_weights(mats, k)
+    d = np.abs(np.random.default_rng(1).normal(size=(n, n))).astype(np.float32)
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+
+    def losses_for(apply_fn, feats, mesh_shape):
+        mesh = make_mesh(*mesh_shape)
+        specs = fsw_dist_embed_specs(MODEL_AXIS)
+        params = shard_params(init_fsw_dist_embed(key, k, base_dim, fswout, H, E), specs, mesh)
+        opt = adam_init(params)
+        runner = DistanceEpochRunner(mesh, apply_fn, specs, n, 4)
+        losses = []
+        for e in range(5):
+            params, opt, loss = runner.run_epoch(
+                params, opt, jnp.asarray(feats), jnp.asarray(d),
+                jax.random.fold_in(key, e), 1e-3,
+            )
+            losses.append(float(loss))
+        return losses
+
+    shared = make_fsw_shared_apply(k)
+    ref = losses_for(fsw_dist_embed_apply, feats_pg, (1, 1))
+    assert ref[-1] < ref[0]
+    assert np.allclose(losses_for(shared, W, (1, 1)), ref, rtol=1e-3)
+    for shape in [(8, 1), (2, 4)]:
+        assert np.allclose(losses_for(shared, W, shape), ref, rtol=1e-2), shape
