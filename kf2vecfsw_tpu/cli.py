@@ -96,7 +96,7 @@ def _cmd_train_model_set(args):
         args.embed_sz, args.batch_sz, args.lr, args.lr_min, args.lr_decay, args.clade,
         args.seed, args.o, test_ids_path=args.test_set, save_interval=args.save_interval,
         use_fsw=not args.no_fsw, base_dim=args.base_dim, fswout_dim=args.fswout_dim,
-        resume=args.resume,
+        resume=args.resume, fsw_lazy_refresh=args.fsw_lazy_refresh,
     )
 
 
@@ -355,6 +355,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-no_fsw", action="store_true", help="Keep original model")
     p.add_argument("-fswout_dim", type=int, default=D.FSW_OUT_DIM)
     p.add_argument("-base_dim", type=int, default=D.FSW_BASE_DIM)
+    p.add_argument("-fsw_lazy_refresh", type=int, default=0,
+                   help="FSW acceleration (extension): re-sort the FSW "
+                        "projections every N steps instead of every step "
+                        "(shared-vocab clades only). 0 = exact per-step sort")
     _add_resume(p)
     p.set_defaults(func=_cmd_train_model_set)
 

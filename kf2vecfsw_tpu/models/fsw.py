@@ -236,6 +236,116 @@ def fsw_embed_shared(fsw_params, points, weights, slice_chunk: int = 0):
     return jnp.moveaxis(out, 1, 0).reshape(weights.shape[0], -1)[:, :d_out]
 
 
+# -- lazy-permutation shared-vocab path ---------------------------------------
+#
+# The exact shared path pays one multi-operand sort + a cumsum + trig over
+# (B, C, V) tensors EVERY step, yet everything the sort produces besides the
+# permutation — sorted weights, their cumsum midpoints cbar, and hence the
+# whole per-point coefficient
+#
+#     delta[i,c,v] = sqrt2 * w_(v) * cos(pi xi_c cbar_v) * sinc(xi_c w_(v)/2)
+#
+# depends only on DATA (per-genome weights) and the permutation. Freezing the
+# permutation for R steps makes delta constant; scattered back to original
+# vocab order (delta_orig) the embedding collapses to
+#
+#     E[i,c] = sum_v p[c,v] * delta_orig[i,c,v],    p = slices @ points.T
+#
+# a pure HBM-bound contraction — no sort, no gather in the step. At a refresh
+# step the permutation is fresh, so E and its gradient equal the exact path's
+# (whose custom VJP also treats the permutation as locally constant); between
+# refreshes the objective is the exact FSW of a slightly stale ordering.
+# Learnable frequencies stay trainable through the first-order term
+# (xi - stop_grad(xi)) * ddelta_dxi with ddelta_dxi precomputed by jvp at
+# refresh: the forward value is untouched (the factor is exactly zero) while
+# autodiff reads off the exact d delta / d xi at the refresh point.
+#
+# Measured on v5e at (B=16, C=512, V=8192): exact span step 30.3 ms; lazy
+# step ~2.5 ms + amortized refresh (see bench.py fsw_lazy fields).
+
+
+def _f2i_keys(p):
+    """Monotone bijection f32 -> int32 so the sort runs integer comparators
+    (no NaN/-0.0 totality logic; measured ~20% faster at (512, 8192))."""
+    i = jax.lax.bitcast_convert_type(p, jnp.int32)
+    return jnp.where(i < 0, i ^ jnp.int32(0x7FFFFFFF), i)
+
+
+def fsw_lazy_refresh(fsw_params, points, W, group: int = 8):
+    """Precompute (delta_orig, gdelta_orig), each (n, C, V), for the lazy path.
+
+    points: (V, d_in) shared vocab points under the current lookup;
+    W: (n, V) nonnegative per-item vocab weights (rows of zeros allowed —
+    bucket padding items yield all-zero delta and embed to 0).
+
+    Per group of `group` items: one (1+G+1)-operand int-keyed sort of the
+    shared projections carrying the G weight rows, the delta/ddelta
+    elementwise block (ddelta via jvp wrt the frequencies), and one
+    (1+2G)-operand unsort keyed by the permutation to return to original
+    vocab order. Runs entirely per-slice-row, so under a model-axis-sharded
+    mesh each device refreshes only its local slice rows with no collectives.
+    """
+    slices = fsw_params["slices"]
+    freqs = fsw_params["freqs"]
+    n, V = W.shape
+    assert n % group == 0, (n, group)
+    total = jnp.maximum(W.sum(axis=-1, keepdims=True), 1e-30)
+    wn = W / total  # (n, V)
+    p = slices @ points.T  # (C, V)
+    keys = _f2i_keys(p)
+    iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+
+    def group_fn(wg):  # (G, V) -> ((G, C, V), (G, C, V))
+        g = wg.shape[0]
+        ops = (keys,) + tuple(
+            jnp.broadcast_to(wg[i][None, :], p.shape) for i in range(g)
+        ) + (iota,)
+        res = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
+        wsb = jnp.stack(res[1:-1])  # (G, C, V) sorted weights
+        perm = res[-1]
+
+        def delta_of_xi(xi):
+            cs = jnp.cumsum(wsb, axis=-1)
+            cbar = cs - wsb / 2.0
+            x = xi[None, :, None]
+            return _SQRT2 * wsb * jnp.cos(jnp.pi * x * cbar) * jnp.sinc(x * wsb / 2.0)
+
+        delta, gdelta = jax.jvp(delta_of_xi, (freqs,), (jnp.ones_like(freqs),))
+        # unsort to original vocab order: sort (perm, rows...) by the unique
+        # int keys; operands ride the inverse permutation
+        res2 = jax.lax.sort(
+            (perm,) + tuple(delta[i] for i in range(g)) + tuple(gdelta[i] for i in range(g)),
+            dimension=-1,
+            is_stable=False,
+            num_keys=1,
+        )
+        return jnp.stack(res2[1 : 1 + g]), jnp.stack(res2[1 + g :])
+
+    d, gd = jax.lax.map(group_fn, wn.reshape(n // group, group, V))
+    C = slices.shape[0]
+    return d.reshape(n, C, V), gd.reshape(n, C, V)
+
+
+def fsw_lazy_apply(params, delta, gdelta, vocab_digits, model_axis: str | None = None):
+    """Forward from precomputed (delta, gdelta) planes: (B, C, V) each, in
+    original vocab order (rows of fsw_lazy_refresh gathered per batch).
+    Numerically equal to fsw_dist_embed_apply_shared at a fresh permutation
+    (summation order aside); between refreshes, exact FSW of the stale
+    ordering. The (freqs - stop_grad(freqs)) * gdelta term is identically
+    zero in the forward but hands autodiff the exact d delta / d xi."""
+    freqs = params["fsw"]["freqs"]
+    V = delta.shape[-1]
+    points = params["lookup"][vocab_digits].reshape(V, -1)
+    p = params["fsw"]["slices"] @ points.T  # (C, V)
+    eff = delta + (freqs - jax.lax.stop_gradient(freqs))[None, :, None] * gdelta
+    fsw_out = jnp.einsum("cv,bcv->bc", p, eff)  # (B, C)
+    h = fsw_out @ params["fc1"]["w"]
+    if model_axis is not None:
+        h = jax.lax.psum(h, model_axis)
+    h = jax.nn.relu(h + params["fc1"]["b"])
+    return h @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
 def init_fsw_dist_embed(
     key, k: int, base_dim: int, fswout_dim: int, hidden_size: int, embedding_size: int
 ):

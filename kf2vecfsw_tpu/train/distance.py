@@ -158,6 +158,7 @@ def train_model_set_func(
     log_every: int = 1,
     resume: bool = False,
     autosave_every: int = 500,
+    fsw_lazy_refresh: int = 0,
 ) -> list[str]:
     since = time.time()
     clade_tag = (
@@ -172,7 +173,7 @@ def train_model_set_func(
             num_epochs, hidden_size, embedding_size, batch_size, lr0, lr_min,
             lr_decay, clades_to_train, seed, model_filepath, test_ids_path,
             save_interval, use_fsw, base_dim, fswout_dim, mesh, log_every,
-            resume, autosave_every,
+            resume, autosave_every, fsw_lazy_refresh,
         )
     finally:
         close_logger(log)
@@ -183,6 +184,7 @@ def _train_all(
     num_epochs, hidden_size, embedding_size, batch_size, lr0, lr_min, lr_decay,
     clades_to_train, seed, model_filepath, test_ids_path, save_interval,
     use_fsw, base_dim, fswout_dim, mesh, log_every, resume, autosave_every,
+    fsw_lazy_refresh=0,
 ):
     from ..ingest.tree_ops import read_subtrees
 
@@ -325,9 +327,32 @@ def _train_all(
 
         feats_dev = stage_replicated(train_feats, mesh)
         dist_dev = stage_replicated(dist, mesh)
-        runner = DistanceEpochRunner(
-            mesh, apply_fn, specs, len(train_idx), batch_size, donate=True
-        )
+        use_lazy = False
+        if use_fsw and fsw_shared and fsw_lazy_refresh > 0:
+            from .fsw_lazy import FSWLazyEpochRunner, lazy_applicable
+            from .step import bucket_items
+
+            use_lazy = lazy_applicable(
+                bucket_items(max(len(train_idx), 1)), fswout_dim, train_feats.shape[1]
+            )
+            if not use_lazy:
+                log.info(
+                    "FSW lazy-refresh requested but the (delta, gdelta) planes "
+                    "exceed FSW_LAZY_BUDGET_BYTES for this clade; using the "
+                    "exact shared path"
+                )
+        if use_lazy:
+            log.info(
+                f"FSW lazy sort-refresh path: refresh every {fsw_lazy_refresh} steps"
+            )
+            runner = FSWLazyEpochRunner(
+                mesh, input_size - 1, specs, len(train_idx), batch_size,
+                refresh_steps=fsw_lazy_refresh, donate=True,
+            )
+        else:
+            runner = DistanceEpochRunner(
+                mesh, apply_fn, specs, len(train_idx), batch_size, donate=True
+            )
 
         hrs, m, s = hms(time.time() - since)
         log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")

@@ -1,0 +1,222 @@
+"""Lazy-permutation FSW distance-trainer runner.
+
+Drop-in sibling of DistanceEpochRunner for the shared-vocab FSW family
+(models/fsw.py fsw_lazy_*): the per-step multi-operand sort + cumsum + trig
+over (B, C, V) tensors is replaced by a periodic in-span "refresh" that
+precomputes the per-item coefficient planes (delta, ddelta/dxi) in original
+vocab order, leaving each training step a pure HBM-bound contraction
+E = sum_v p * delta. Refreshes happen every `refresh_steps` batch steps
+inside the jitted span (step counter starts at each span dispatch, so the
+first step of every span always refreshes — resume-safe without state).
+
+refresh_steps=1 refreshes before every step and is numerically the exact
+shared path (summation order aside) — pinned by tests/test_fsw_lazy.py.
+Larger values train on the exact FSW of a slightly stale sort order; the
+gradient is exact for the stale objective and coincides with the exact
+gradient at every refresh step.
+
+The refresh runs per-slice-row, so under a model-axis-sharded mesh each
+device refreshes only its local rows of (delta, gdelta) with no
+collectives; the planes are sharded P(None, 'model', None).
+
+Memory: two f32 (n_bucket, C, V) planes. The trainer gates this path by
+FSW_LAZY_BUDGET_BYTES and falls back to the exact shared runner when the
+clade exceeds it. Reference semantics: train_model_set.py:96 (same trainer
+surface); this path is a TPU-first acceleration behind -fsw_lazy_refresh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..models.fsw import fsw_lazy_apply, fsw_lazy_refresh, make_fsw_shared_apply
+from ..ops.losses import weighted_sqrt_mse
+from ..ops.pairwise import pairwise_l2_exact
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+from .step import (
+    DistanceEpochRunner,
+    _batch_index_plan_dyn,
+    _packed_perm,
+    adam_specs,
+    adam_update,
+    device_step_lr,
+    fold_best,
+    shard_map,
+)
+
+# 2 f32 (n_bucket, C, V) planes must fit under this for the lazy path
+FSW_LAZY_BUDGET_BYTES = 6 << 30
+
+# items per refresh sort group: must divide every item bucket (buckets are
+# multiples of 8, step.bucket_items)
+REFRESH_GROUP = 8
+
+
+def lazy_applicable(n_bucket: int, d_out: int, vocab: int) -> bool:
+    return 2 * 4 * n_bucket * d_out * vocab <= FSW_LAZY_BUDGET_BYTES
+
+
+class FSWLazyEpochRunner(DistanceEpochRunner):
+    """DistanceEpochRunner for shared-vocab FSW with lazily-refreshed sorts.
+
+    Same public surface (run_epoch, run_epoch_span, eval_loss, pad_*);
+    features are the (n, V) vocab-aligned weight rows of the shared path.
+    Holdout evaluation (eval_loss) uses the EXACT shared forward — only the
+    training steps use the lazy objective.
+    """
+
+    def __init__(
+        self,
+        mesh,
+        k: int,
+        param_specs,
+        n_items: int,
+        batch_size: int,
+        refresh_steps: int = 32,
+        weight_offset: float = 1e-6,
+        donate: bool = False,
+    ):
+        from ..models.fsw import _vocab_digits_dev
+
+        self.refresh_steps = max(1, int(refresh_steps))
+        self._digits = _vocab_digits_dev(k)  # (V, k) closure constant
+        super().__init__(
+            mesh,
+            make_fsw_shared_apply(k),  # exact path: eval_loss only
+            param_specs,
+            n_items,
+            batch_size,
+            weight_offset=weight_offset,
+            donate=donate,
+        )
+        dspec = P(None, MODEL_AXIS, None)
+        self._dspec = dspec
+        in_specs = (
+            param_specs,
+            adam_specs(param_specs),
+            P(),  # W (n_bucket, V) vocab weights
+            P(),  # dist
+            P(),  # idx
+            P(),  # mask
+            P(),  # lr
+            dspec,  # delta
+            dspec,  # gdelta
+            P(),  # step0
+        )
+        out_specs = (param_specs, adam_specs(param_specs), dspec, dspec, P(), P())
+        self._lazy_epoch_sharded = shard_map(
+            self._lazy_epoch_core,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        donate_args = (0, 1) if donate else ()
+        self._run = jax.jit(self._lazy_run_impl, donate_argnums=donate_args)
+        self._span = jax.jit(
+            self._lazy_span_impl,
+            static_argnums=(9,),
+            donate_argnums=(0, 1, 2) if donate else (),
+        )
+
+    # -- lazy core (per-device under shard_map) -------------------------------
+    def _lazy_batch_loss(self, params, db, gb, dist, idx, mask):
+        e_local = fsw_lazy_apply(params, db, gb, self._digits, model_axis=MODEL_AXIS)
+        emb = jax.lax.all_gather(e_local, DATA_AXIS, axis=0, tiled=True)
+        model_dist = pairwise_l2_exact(emb)
+        true_dist = dist[jnp.ix_(idx, idx)]
+        pair_mask = mask[:, None] & mask[None, :]
+        return weighted_sqrt_mse(model_dist, true_dist, pair_mask, self.weight_offset)
+
+    def _lazy_epoch_core(self, params, opt, W, dist, idx_all, mask_all, lr, delta, gdelta, step0):
+        digits = self._digits
+        R = self.refresh_steps
+
+        def batch_step(carry, inp):
+            params, opt, delta, gdelta, step = carry
+            idx, mask = inp
+
+            def do_refresh(p):
+                points = p["lookup"][digits].reshape(W.shape[1], -1)
+                return fsw_lazy_refresh(p["fsw"], points, W, group=REFRESH_GROUP)
+
+            delta, gdelta = jax.lax.cond(
+                step % R == 0, do_refresh, lambda p: (delta, gdelta), params
+            )
+            my_d = jax.lax.axis_index(DATA_AXIS)
+            lidx = jax.lax.dynamic_slice(idx, (my_d * self.local_b,), (self.local_b,))
+            db = delta[lidx]
+            gb = gdelta[lidx]
+            active = mask[0]
+            loss, grads = jax.value_and_grad(
+                lambda p: self._lazy_batch_loss(p, db, gb, dist, idx, mask)
+            )(params)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            params, opt = adam_update(params, grads, opt, lr, active=active)
+            count = jnp.sum(mask)
+            return (params, opt, delta, gdelta, step + 1), (
+                jnp.where(active, loss, 0.0),
+                count,
+            )
+
+        (params, opt, delta, gdelta, _), (losses, counts) = jax.lax.scan(
+            batch_step, (params, opt, delta, gdelta, step0), (idx_all, mask_all)
+        )
+        epoch_loss = jnp.sum(losses * counts) / jnp.maximum(jnp.sum(counts), 1)
+        return params, opt, delta, gdelta, epoch_loss, losses
+
+    # -- jitted entry points ---------------------------------------------------
+    def _zero_planes(self, params):
+        d_out = params["fsw"]["slices"].shape[0]
+        V = self._digits.shape[0]
+        shape = (self.n_bucket, d_out, V)
+        sharding = NamedSharding(self.mesh, self._dspec)
+        z = jnp.zeros(shape, jnp.float32)
+        return (
+            jax.lax.with_sharding_constraint(z, sharding),
+            jax.lax.with_sharding_constraint(jnp.zeros(shape, jnp.float32), sharding),
+        )
+
+    def _lazy_run_impl(self, params, opt, feats, dist, key, lr, n_items):
+        perm = _packed_perm(key, self.n_bucket, n_items)
+        idx, mask = _batch_index_plan_dyn(
+            self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
+        )
+        delta, gdelta = self._zero_planes(params)
+        params, opt, _, _, eloss, losses = self._lazy_epoch_sharded(
+            params, opt, feats, dist, idx, mask, lr, delta, gdelta, jnp.int32(0)
+        )
+        return params, opt, eloss, losses
+
+    def _lazy_span_impl(
+        self, params, opt, best, feats, dist, base_key, epoch0, lr_args, n_items, span
+    ):
+        lr0, lr_min, lr_decay, lr_base, lr_freq = lr_args
+        delta0, gdelta0 = self._zero_planes(params)
+
+        def epoch_body(carry, e):
+            params, opt, best_params, lowest, best_epoch, delta, gdelta = carry
+            lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
+            perm = _packed_perm(jax.random.fold_in(base_key, e), self.n_bucket, n_items)
+            idx, mask = _batch_index_plan_dyn(
+                self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
+            )
+            # step counter from SPAN start: the first step always refreshes,
+            # so the zero-initialized planes are never consumed
+            step0 = (e - epoch0) * self.n_batches
+            params, opt, delta, gdelta, eloss, _ = self._lazy_epoch_sharded(
+                params, opt, feats, dist, idx, mask, lr, delta, gdelta, step0
+            )
+            better = eloss < lowest
+            best_params = fold_best(better, best_params, params)
+            lowest = jnp.where(better, eloss, lowest)
+            best_epoch = jnp.where(better, e, best_epoch)
+            return (params, opt, best_params, lowest, best_epoch, delta, gdelta), eloss
+
+        carry = (params, opt, best[0], best[1], best[2], delta0, gdelta0)
+        (params, opt, bp, lo, be, _, _), losses = jax.lax.scan(
+            epoch_body, carry, epoch0 + jnp.arange(span)
+        )
+        return params, opt, (bp, lo, be), losses

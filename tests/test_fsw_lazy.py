@@ -1,0 +1,220 @@
+"""Lazy-permutation FSW path (models/fsw.py fsw_lazy_*, train/fsw_lazy.py).
+
+Pins: (1) at a fresh permutation the lazy forward AND every parameter
+gradient (including the learnable frequencies, which flow through the
+stop-gradient jvp term) match the exact shared-vocab path; (2) the lazy
+runner at refresh_steps=1 reproduces the exact runner's span losses;
+(3) stale refresh intervals still descend; (4) mesh invariance including
+model-axis-sharded (delta, gdelta) planes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kf2vecfsw_tpu.models import fsw as fswmod
+from kf2vecfsw_tpu.parallel.mesh import MODEL_AXIS, make_mesh, shard_params
+from kf2vecfsw_tpu.train.fsw_lazy import FSWLazyEpochRunner
+from kf2vecfsw_tpu.train.step import DistanceEpochRunner, adam_init
+
+K, BASE_DIM, FSWOUT, H, E = 3, 3, 24, 16, 8
+
+
+def _setup(n_items=8, seed=0):
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_size
+
+    V = canonical_vocab_size(K)
+    rng = np.random.default_rng(seed)
+    W = rng.random((n_items, V)).astype(np.float32)
+    W[W < 0.3] = 0.0  # absent k-mers
+    params = fswmod.init_fsw_dist_embed(
+        jax.random.PRNGKey(5), K, BASE_DIM, FSWOUT, H, E
+    )
+    return jnp.asarray(W), params, V
+
+
+def test_lazy_forward_and_grads_match_shared_at_fresh_perm():
+    W, params, V = _setup()
+    digits = fswmod._vocab_digits_dev(K)
+    shared_apply = fswmod.make_fsw_shared_apply(K)
+
+    points = params["lookup"][digits].reshape(V, -1)
+    delta, gdelta = fswmod.fsw_lazy_refresh(params["fsw"], points, W, group=8)
+    out_lazy = fswmod.fsw_lazy_apply(params, delta, gdelta, digits)
+    out_sh = shared_apply(params, W)
+    assert np.allclose(np.asarray(out_lazy), np.asarray(out_sh), atol=1e-4), (
+        np.abs(np.asarray(out_lazy) - np.asarray(out_sh)).max()
+    )
+
+    # full parameter gradients: refresh INSIDE the differentiated function the
+    # way the runner uses it (refresh at the step itself = fresh permutation)
+    def loss_lazy(p):
+        pts = p["lookup"][digits].reshape(V, -1)
+        d, gd = fswmod.fsw_lazy_refresh(p["fsw"], pts, W, group=8)
+        # delta/gdelta are data wrt the step params (frozen at refresh)
+        d, gd = jax.lax.stop_gradient((d, gd))
+        return jnp.sum(fswmod.fsw_lazy_apply(p, d, gd, digits) ** 2)
+
+    def loss_sh(p):
+        return jnp.sum(shared_apply(p, W) ** 2)
+
+    g_lazy = jax.grad(loss_lazy)(params)
+    g_sh = jax.grad(loss_sh)(params)
+    flat_l, _ = jax.tree.flatten(g_lazy)
+    flat_s, _ = jax.tree.flatten(g_sh)
+    for a, b in zip(flat_l, flat_s):
+        scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3 * scale), (
+            np.abs(np.asarray(a) - np.asarray(b)).max(),
+            scale,
+        )
+
+
+def test_lazy_freqs_gradient_nonzero_and_matches():
+    """The frequencies' gradient must survive the lazy restructuring (it
+    flows only through the (xi - stop_grad(xi)) * ddelta/dxi term)."""
+    W, params, V = _setup(seed=3)
+    digits = fswmod._vocab_digits_dev(K)
+    shared_apply = fswmod.make_fsw_shared_apply(K)
+
+    def loss_lazy(p):
+        pts = p["lookup"][digits].reshape(V, -1)
+        d, gd = jax.lax.stop_gradient(
+            fswmod.fsw_lazy_refresh(p["fsw"], pts, W, group=8)
+        )
+        return jnp.sum(fswmod.fsw_lazy_apply(p, d, gd, digits) ** 2)
+
+    gf_lazy = np.asarray(jax.grad(loss_lazy)(params)["fsw"]["freqs"])
+    gf_sh = np.asarray(
+        jax.grad(lambda p: jnp.sum(shared_apply(p, W) ** 2))(params)["fsw"]["freqs"]
+    )
+    assert np.abs(gf_sh).max() > 0
+    assert np.allclose(gf_lazy, gf_sh, atol=2e-3 * np.abs(gf_sh).max()), (
+        np.abs(gf_lazy - gf_sh).max()
+    )
+
+
+def _run_span(runner, params, opt, W, dist, key, span=3):
+    lr_args = (1e-3, 1e-4, 2000.0, 0.1, 100)
+    best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
+    Wp = runner.pad_items(W)
+    dp = runner.pad_dist(dist)
+    params, opt, best, losses = runner.run_epoch_span(
+        params, opt, best, Wp, dp, key, 0, span, lr_args
+    )
+    return np.asarray(losses)
+
+
+def _dist_for(n, seed=7):
+    rng = np.random.default_rng(seed)
+    d = np.abs(rng.normal(size=(n, n))).astype(np.float32)
+    d = d + d.T
+    np.fill_diagonal(d, 0.0)
+    return jnp.asarray(d)
+
+
+def test_lazy_runner_refresh1_equals_exact_runner():
+    W, params0, V = _setup()
+    dist = _dist_for(8)
+    mesh = make_mesh(1, 1)
+    specs = fswmod.fsw_dist_embed_specs(MODEL_AXIS)
+    params = shard_params(params0, specs, mesh)
+    key = jax.random.PRNGKey(11)
+
+    exact = DistanceEpochRunner(
+        mesh, fswmod.make_fsw_shared_apply(K), specs, 8, 4
+    )
+    lazy = FSWLazyEpochRunner(mesh, K, specs, 8, 4, refresh_steps=1)
+    losses_e = _run_span(exact, params, adam_init(params), W, dist, key)
+    losses_l = _run_span(lazy, params, adam_init(params), W, dist, key)
+    assert np.allclose(losses_e, losses_l, rtol=1e-4, atol=1e-6), (
+        losses_e,
+        losses_l,
+    )
+
+
+def test_lazy_runner_stale_refresh_descends():
+    W, params0, V = _setup(n_items=8, seed=9)
+    dist = _dist_for(8, seed=9)
+    mesh = make_mesh(1, 1)
+    specs = fswmod.fsw_dist_embed_specs(MODEL_AXIS)
+    params = shard_params(params0, specs, mesh)
+    lazy = FSWLazyEpochRunner(mesh, K, specs, 8, 4, refresh_steps=4)
+    losses = _run_span(lazy, params, adam_init(params), W, dist, jax.random.PRNGKey(2), span=8)
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
+def test_lazy_runner_mesh_invariance(shape):
+    """Losses must not depend on the mesh, including model-axis sharding of
+    the slices and the (delta, gdelta) planes."""
+    W, params0, V = _setup()
+    dist = _dist_for(8)
+    specs = fswmod.fsw_dist_embed_specs(MODEL_AXIS)
+    key = jax.random.PRNGKey(4)
+
+    mesh1 = make_mesh(1, 1)
+    lazy1 = FSWLazyEpochRunner(mesh1, K, specs, 8, 4, refresh_steps=2)
+    p1 = shard_params(params0, specs, mesh1)
+    ref = _run_span(lazy1, p1, adam_init(p1), W, dist, key, span=4)
+
+    mesh2 = make_mesh(*shape)
+    lazy2 = FSWLazyEpochRunner(mesh2, K, specs, 8, 4, refresh_steps=2)
+    p2 = shard_params(params0, specs, mesh2)
+    got = _run_span(lazy2, p2, adam_init(p2), W, dist, key, span=4)
+    # model-sharded psum reorders float sums; same tolerance as the exact
+    # path's mesh-invariance tests (test_train.py)
+    assert np.allclose(ref, got, rtol=1e-2), (ref, got)
+
+
+def test_lazy_trainer_cli_surface(tmp_path):
+    """train_model_set_func with fsw_lazy_refresh trains, exports, and the
+    checkpoint is queryable by the exact per-genome forward."""
+    import os
+
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes, codes_to_digit_matrix, FSW_BASE_MAP
+    from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+    from kf2vecfsw_tpu.train.distance import train_model_set_func
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    rng = np.random.default_rng(0)
+    n = 6
+    names = [f"g{i}" for i in range(n)]
+    feat_dir = tmp_path / "feats"
+    out_dir = tmp_path / "models"
+    dist_dir = tmp_path / "dist"
+    for d in (feat_dir, out_dir, dist_dir):
+        os.makedirs(d)
+    # full-vocab point sets => the shared path (and so the lazy path) engages
+    codes = canonical_vocab_codes(K)
+    digits = codes_to_digit_matrix(codes, K, FSW_BASE_MAP).astype(np.float32)
+    files = []
+    for nm in names:
+        freqs = rng.random((digits.shape[0], 1)).astype(np.float32)
+        mat = np.concatenate([digits, freqs], axis=1)
+        p = str(feat_dir / f"{nm}.npy")
+        np.save(p, mat)
+        files.append(p)
+    with open(tmp_path / "subtrees.csv", "w") as f:
+        for nm in names:
+            f.write(f"{nm}\t0\n")
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0.0)
+    write_di_mtrx(str(dist_dir / "true_distance_matrix_subtree_0.di_mtrx"), names, d)
+
+    saved = train_model_set_func(
+        str(feat_dir), files, str(tmp_path / "subtrees.csv"), str(dist_dir),
+        num_epochs=4, hidden_size=16, embedding_size=8, batch_size=4,
+        lr0=1e-3, lr_min=1e-4, lr_decay=2000.0, clades_to_train=None, seed=1,
+        model_filepath=str(out_dir), base_dim=BASE_DIM, fswout_dim=FSWOUT,
+        fsw_lazy_refresh=2,
+    )
+    assert saved and os.path.exists(saved[0])
+    name, meta, params = load_checkpoint(saved[0])
+    assert name == "NeuralNetFSW"
+    # lazy-trained params drive the exact per-genome forward
+    X = np.concatenate([digits, rng.random((digits.shape[0], 1)).astype(np.float32)], axis=1)
+    emb = fswmod.fsw_dist_embed_apply(jax.device_put(params), jnp.asarray(X[None]))
+    assert np.isfinite(np.asarray(emb)).all()
