@@ -70,66 +70,108 @@ def bench_train_steps() -> float:
 
 
 def bench_fsw() -> dict:
-    """NeuralNetFSW train step at the reference flagship FSW config
-    (k=7, base_dim=4, d_out=512, H=2048, E=1024, B=16, N=8192 full point
-    sets — at k=7 the full vocab, so the trainer takes the shared-vocab
-    path: ONE (B+1)-operand sort forward + ONE 2-operand int32-keyed
-    unsort backward for the whole batch (models/fsw.py:_sort_shared).
-    The per-genome path (B independent sorts; queries/short contigs) is
-    reported alongside."""
+    """NeuralNetFSW training at the reference flagship FSW config
+    (k=7, base_dim=4, d_out=512, H=2048, E=1024, B=16, full-vocab point
+    sets, n_items=128) measured through the SHIPPED multi-epoch span
+    runners — one dispatch + one loss fetch per 16-epoch span, exactly how
+    train_model_set runs. (Per-dispatch step timing adds this rig's ~24 ms
+    tunnel round trip to EVERY step and was what round 2 reported; the
+    span numbers are the hardware.) Reports the exact shared-sort path and
+    the lazy sort-refresh path (-fsw_lazy_refresh 128), plus the per-genome
+    single-step dispatch time (queries/short contigs) for continuity."""
     from kf2vecfsw_tpu.models.fsw import (
         fsw_dist_embed_apply,
+        fsw_dist_embed_specs,
         init_fsw_dist_embed,
         make_fsw_shared_apply,
     )
     from kf2vecfsw_tpu.ops.losses import weighted_sqrt_mse
     from kf2vecfsw_tpu.ops.pairwise import pairwise_l2_exact
-    from kf2vecfsw_tpu.train.step import adam_init, adam_update
+    from kf2vecfsw_tpu.parallel.mesh import MODEL_AXIS, make_mesh, shard_params
+    from kf2vecfsw_tpu.train.fsw_lazy import FSWLazyEpochRunner
+    from kf2vecfsw_tpu.train.step import DistanceEpochRunner, adam_init, adam_update
 
-    B, N = 16, 8192
+    mesh = make_mesh(1, 1)
+    key = jax.random.PRNGKey(0)
+    n_items, B = 128, 16
     k, base_dim, fswout, H, E = 7, 4, 512, 2048, 1024
-    params = init_fsw_dist_embed(jax.random.PRNGKey(3), k, base_dim, fswout, H, E)
-    kmers = jax.random.randint(jax.random.PRNGKey(4), (B, N, k), 0, 4).astype(jnp.float32)
-    wts = jax.random.uniform(jax.random.PRNGKey(5), (B, N, 1))
-    X = jnp.concatenate([kmers, wts], axis=-1)
-    W = jax.random.uniform(jax.random.PRNGKey(7), (B, N))  # vocab-aligned weights
-    td = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (B, B)))
-    td = td + td.T
-    shared_apply = make_fsw_shared_apply(k)
+    V = 8192
+    specs = fsw_dist_embed_specs(MODEL_AXIS)
+    params0 = shard_params(
+        init_fsw_dist_embed(key, k, base_dim, fswout, H, E), specs, mesh
+    )
+    W = jax.random.uniform(key, (n_items, V), jnp.float32)
+    dist = jnp.abs(jax.random.normal(key, (n_items, n_items)))
+    dist = dist + dist.T
+    dist = dist.at[jnp.diag_indices(n_items)].set(0.0)
+    lr_args = (1e-5, 3e-6, 2000.0, 0.1, 100)
 
-    def make_step(apply_fn, feats):
-        def loss(p):
-            emb = apply_fn(p, feats)
-            md = pairwise_l2_exact(emb)
-            return weighted_sqrt_mse(md, td, jnp.ones((B, B), bool), 1e-6)
-
-        @jax.jit
-        def step(params, opt):
-            lv, g = jax.value_and_grad(loss)(params)
-            params, opt = adam_update(params, g, opt, jnp.float32(1e-4))
-            return params, opt, lv
-
-        return step
-
-    out = {}
-    for name, step in (
-        ("shared", make_step(lambda p, x: shared_apply(p, x), W)),
-        ("pergenome", make_step(lambda p, x: fsw_dist_embed_apply(p, x), X)),
-    ):
-        params_i, opt = params, adam_init(params)
-        params_i, opt, lv = step(params_i, opt)
-        float(lv)  # warm/compile
-        best = float("inf")
-        for _ in range(8):
+    def span_steps_per_s(runner):
+        params = jax.tree.map(jnp.copy, params0)
+        opt = adam_init(params)
+        best = (jax.tree.map(jnp.copy, params), jnp.float32(np.inf), jnp.int32(-1))
+        Wp = runner.pad_items(W)
+        dp = runner.pad_dist(dist)
+        params, opt, best, losses = runner.run_epoch_span(
+            params, opt, best, Wp, dp, key, 0, 16, lr_args
+        )
+        np.asarray(losses)  # warm / compile
+        n_epochs = 64
+        dt = float("inf")
+        for _ in range(3):
             t0 = time.perf_counter()
-            params_i, opt, lv = step(params_i, opt)
-            float(lv)
-            best = min(best, time.perf_counter() - t0)
-        out[name] = best
+            for i in range(n_epochs // 16):
+                params, opt, best, losses = runner.run_epoch_span(
+                    params, opt, best, Wp, dp, key, 16 + i * 16, 16, lr_args
+                )
+                np.asarray(losses)
+            dt = min(dt, time.perf_counter() - t0)
+        return n_epochs * runner.n_batches / dt
+
+    exact = span_steps_per_s(
+        DistanceEpochRunner(mesh, make_fsw_shared_apply(k), specs, n_items, B)
+    )
+    lazy = span_steps_per_s(
+        FSWLazyEpochRunner(mesh, k, specs, n_items, B, refresh_steps=128)
+    )
+
+    # per-genome path: single-step dispatch (the short-contig/query regime
+    # never runs multi-epoch spans over one batch)
+    X = jnp.concatenate(
+        [
+            jax.random.randint(jax.random.PRNGKey(4), (B, V, k), 0, 4).astype(jnp.float32),
+            jax.random.uniform(jax.random.PRNGKey(5), (B, V, 1)),
+        ],
+        axis=-1,
+    )
+    td = dist[:B, :B]
+
+    def loss(p):
+        emb = fsw_dist_embed_apply(p, X)
+        md = pairwise_l2_exact(emb)
+        return weighted_sqrt_mse(md, td, jnp.ones((B, B), bool), 1e-6)
+
+    @jax.jit
+    def step(params, opt):
+        lv, g = jax.value_and_grad(loss)(params)
+        params, opt = adam_update(params, g, opt, jnp.float32(1e-4))
+        return params, opt, lv
+
+    params_i, opt = params0, adam_init(params0)
+    params_i, opt, lv = step(params_i, opt)
+    float(lv)
+    best = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        params_i, opt, lv = step(params_i, opt)
+        float(lv)
+        best = min(best, time.perf_counter() - t0)
     return {
-        "fsw_steps_per_s": round(1.0 / out["shared"], 3),
-        "fsw_step_ms": round(out["shared"] * 1e3, 2),
-        "fsw_pergenome_step_ms": round(out["pergenome"] * 1e3, 2),
+        "fsw_steps_per_s": round(exact, 3),
+        "fsw_step_ms": round(1e3 / exact, 2),
+        "fsw_lazy_steps_per_s": round(lazy, 3),
+        "fsw_lazy_step_ms": round(1e3 / lazy, 2),
+        "fsw_pergenome_step_dispatch_ms": round(best * 1e3, 2),
     }
 
 

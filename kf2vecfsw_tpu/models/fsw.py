@@ -271,74 +271,122 @@ def _f2i_keys(p):
     return jnp.where(i < 0, i ^ jnp.int32(0x7FFFFFFF), i)
 
 
+def _i2f_keys(k):
+    """Inverse of _f2i_keys."""
+    i = jnp.where(k < 0, k ^ jnp.int32(0x7FFFFFFF), k)
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
+def _cumsum_minor_matmul(x, block: int = 256):
+    """Cumulative sum along the minor axis as a blocked lower-triangular
+    matmul: XLA's native cumsum is ~log2(V) full passes over the tensor
+    (~55 GB of HBM traffic for a 2 GB operand at V=8192); one (block,block)
+    triangular matmul per block rides the MXU in a single pass plus a tiny
+    per-block offset scan. f32 operands with HIGHEST precision keep the
+    accumulation in f32 (same precision class as the sequential cumsum)."""
+    V = x.shape[-1]
+    if V % block or V <= block:
+        return jnp.cumsum(x, axis=-1)
+    nb = V // block
+    xb = x.reshape(x.shape[:-1] + (nb, block))
+    tri = jnp.tril(jnp.ones((block, block), x.dtype))
+    within = jax.lax.dot_general(
+        xb, tri, (((xb.ndim - 1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (..., nb, block): within[..., k, i] = sum_{j<=i} xb[..., k, j]
+    sums = xb.sum(-1)
+    offsets = jnp.cumsum(sums, axis=-1) - sums  # exclusive block offsets
+    return (within + offsets[..., None]).reshape(x.shape)
+
+
 def fsw_lazy_refresh(fsw_params, points, W, group: int = 8):
-    """Precompute (delta_orig, gdelta_orig), each (n, C, V), for the lazy path.
+    """Precompute (delta_orig (n, C, V), g2 (n, C)) for the lazy path.
 
     points: (V, d_in) shared vocab points under the current lookup;
     W: (n, V) nonnegative per-item vocab weights (rows of zeros allowed —
     bucket padding items yield all-zero delta and embed to 0).
 
-    Per group of `group` items: one (1+G+1)-operand int-keyed sort of the
-    shared projections carrying the G weight rows, the delta/ddelta
-    elementwise block (ddelta via jvp wrt the frequencies), and one
-    (1+2G)-operand unsort keyed by the permutation to return to original
-    vocab order. Runs entirely per-slice-row, so under a model-axis-sharded
-    mesh each device refreshes only its local slice rows with no collectives.
+    delta_orig carries the quantile coefficients in original vocab order;
+    g2[i, c] = sum_v ps[c, v] * (d delta / d xi_c)[i, c, v] is the
+    frequencies' embedding gradient AT the refresh point, contracted in
+    sorted order BEFORE the unsort (so the ddelta tensor is never
+    materialized to HBM or unsorted). Between refreshes the freqs gradient
+    therefore uses the refresh-point projections — the same first-order
+    staleness class as delta itself, and exact at a fresh permutation.
+
+    Per group of up to `group` items (snapped to a divisor of n): one
+    (1+G+1)-operand int-keyed sort of the shared projections carrying the G
+    weight rows, the delta/ddelta elementwise block (ddelta via jvp wrt the
+    frequencies; the cumsum inside uses the blocked-matmul form), and one
+    (1+G)-operand unsort keyed by the permutation. The sort network's cost
+    is payload-traffic-bound (~45 GB/s measured on v5e), so the refresh
+    floor is ~64 MB of sort traffic per item at (C=512, V=8192) — amortize
+    it with refresh intervals of tens to hundreds of steps. Runs entirely
+    per-slice-row, so under a model-axis-sharded mesh each device refreshes
+    only its local slice rows with no collectives.
     """
     slices = fsw_params["slices"]
     freqs = fsw_params["freqs"]
     n, V = W.shape
-    assert n % group == 0, (n, group)
+    group = min(group, n)
+    while n % group:  # largest divisor of n at most `group` (trace-time)
+        group -= 1
     total = jnp.maximum(W.sum(axis=-1, keepdims=True), 1e-30)
     wn = W / total  # (n, V)
     p = slices @ points.T  # (C, V)
     keys = _f2i_keys(p)
     iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
 
-    def group_fn(wg):  # (G, V) -> ((G, C, V), (G, C, V))
+    def group_fn(wg):  # (G, V) -> ((G, C, V), (G, C))
         g = wg.shape[0]
         ops = (keys,) + tuple(
             jnp.broadcast_to(wg[i][None, :], p.shape) for i in range(g)
         ) + (iota,)
         res = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
+        ps = _i2f_keys(res[0])  # (C, V) sorted projections
         wsb = jnp.stack(res[1:-1])  # (G, C, V) sorted weights
         perm = res[-1]
 
         def delta_of_xi(xi):
-            cs = jnp.cumsum(wsb, axis=-1)
+            cs = _cumsum_minor_matmul(wsb)
             cbar = cs - wsb / 2.0
             x = xi[None, :, None]
             return _SQRT2 * wsb * jnp.cos(jnp.pi * x * cbar) * jnp.sinc(x * wsb / 2.0)
 
         delta, gdelta = jax.jvp(delta_of_xi, (freqs,), (jnp.ones_like(freqs),))
-        # unsort to original vocab order: sort (perm, rows...) by the unique
-        # int keys; operands ride the inverse permutation
+        g2 = jnp.sum(ps[None] * gdelta, axis=-1)  # (G, C), sorted order
+        # unsort delta to original vocab order: sort (perm, rows...) by the
+        # unique int keys; operands ride the inverse permutation
         res2 = jax.lax.sort(
-            (perm,) + tuple(delta[i] for i in range(g)) + tuple(gdelta[i] for i in range(g)),
+            (perm,) + tuple(delta[i] for i in range(g)),
             dimension=-1,
             is_stable=False,
             num_keys=1,
         )
-        return jnp.stack(res2[1 : 1 + g]), jnp.stack(res2[1 + g :])
+        return jnp.stack(res2[1:]), g2
 
-    d, gd = jax.lax.map(group_fn, wn.reshape(n // group, group, V))
+    if n == group:
+        d, g2 = group_fn(wn)
+    else:
+        d, g2 = jax.lax.map(group_fn, wn.reshape(n // group, group, V))
     C = slices.shape[0]
-    return d.reshape(n, C, V), gd.reshape(n, C, V)
+    return d.reshape(n, C, V), g2.reshape(n, C)
 
 
-def fsw_lazy_apply(params, delta, gdelta, vocab_digits, model_axis: str | None = None):
-    """Forward from precomputed (delta, gdelta) planes: (B, C, V) each, in
-    original vocab order (rows of fsw_lazy_refresh gathered per batch).
-    Numerically equal to fsw_dist_embed_apply_shared at a fresh permutation
-    (summation order aside); between refreshes, exact FSW of the stale
-    ordering. The (freqs - stop_grad(freqs)) * gdelta term is identically
-    zero in the forward but hands autodiff the exact d delta / d xi."""
+def fsw_lazy_apply(params, delta, g2, vocab_digits, model_axis: str | None = None):
+    """Forward from a precomputed delta plane (B, C, V) in original vocab
+    order plus the refresh-point freqs-gradient matrix g2 (B, C) — rows of
+    fsw_lazy_refresh gathered per batch. Numerically equal to
+    fsw_dist_embed_apply_shared at a fresh permutation (summation order
+    aside); between refreshes, exact FSW of the stale ordering. The
+    (freqs - stop_grad(freqs)) * g2 term is identically zero in the forward
+    but hands autodiff the refresh-point d E / d xi."""
     freqs = params["fsw"]["freqs"]
     V = delta.shape[-1]
     points = params["lookup"][vocab_digits].reshape(V, -1)
     p = params["fsw"]["slices"] @ points.T  # (C, V)
-    eff = delta + (freqs - jax.lax.stop_gradient(freqs))[None, :, None] * gdelta
-    fsw_out = jnp.einsum("cv,bcv->bc", p, eff)  # (B, C)
+    fsw_out = jnp.einsum("cv,bcv->bc", p, delta)  # (B, C)
+    fsw_out = fsw_out + (freqs - jax.lax.stop_gradient(freqs))[None, :] * g2
     h = fsw_out @ params["fc1"]["w"]
     if model_axis is not None:
         h = jax.lax.psum(h, model_axis)

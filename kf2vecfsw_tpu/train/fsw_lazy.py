@@ -3,8 +3,9 @@
 Drop-in sibling of DistanceEpochRunner for the shared-vocab FSW family
 (models/fsw.py fsw_lazy_*): the per-step multi-operand sort + cumsum + trig
 over (B, C, V) tensors is replaced by a periodic in-span "refresh" that
-precomputes the per-item coefficient planes (delta, ddelta/dxi) in original
-vocab order, leaving each training step a pure HBM-bound contraction
+precomputes the per-item coefficient plane delta in original vocab order
+(plus the tiny refresh-point freqs-gradient matrix g2), leaving each
+training step a pure HBM-bound contraction
 E = sum_v p * delta. Refreshes happen every `refresh_steps` batch steps
 inside the jitted span (step counter starts at each span dispatch, so the
 first step of every span always refreshes — resume-safe without state).
@@ -19,7 +20,7 @@ The refresh runs per-slice-row, so under a model-axis-sharded mesh each
 device refreshes only its local rows of (delta, gdelta) with no
 collectives; the planes are sharded P(None, 'model', None).
 
-Memory: two f32 (n_bucket, C, V) planes. The trainer gates this path by
+Memory: one f32 (n_bucket, C, V) plane. The trainer gates this path by
 FSW_LAZY_BUDGET_BYTES and falls back to the exact shared runner when the
 clade exceeds it. Reference semantics: train_model_set.py:96 (same trainer
 surface); this path is a TPU-first acceleration behind -fsw_lazy_refresh.
@@ -47,16 +48,19 @@ from .step import (
     shard_map,
 )
 
-# 2 f32 (n_bucket, C, V) planes must fit under this for the lazy path
+# the f32 (n_bucket, C, V) delta plane must fit under this for the lazy path
 FSW_LAZY_BUDGET_BYTES = 6 << 30
 
-# items per refresh sort group: must divide every item bucket (buckets are
-# multiples of 8, step.bucket_items)
+# items per refresh sort group: the sort network's cost is payload-traffic
+# bound (~45 GB/s measured), so larger groups only amortize the ~20% key
+# overhead while multi-dozen-operand sorts can hang the compiler — 8 is the
+# measured sweet spot (must divide every item bucket; buckets are multiples
+# of 8, step.bucket_items)
 REFRESH_GROUP = 8
 
 
 def lazy_applicable(n_bucket: int, d_out: int, vocab: int) -> bool:
-    return 2 * 4 * n_bucket * d_out * vocab <= FSW_LAZY_BUDGET_BYTES
+    return 4 * n_bucket * d_out * vocab <= FSW_LAZY_BUDGET_BYTES
 
 
 class FSWLazyEpochRunner(DistanceEpochRunner):
@@ -103,15 +107,34 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             P(),  # mask
             P(),  # lr
             dspec,  # delta
-            dspec,  # gdelta
+            P(None, MODEL_AXIS),  # g2 (refresh-point freqs gradient)
             P(),  # step0
         )
-        out_specs = (param_specs, adam_specs(param_specs), dspec, dspec, P(), P())
+        out_specs = (
+            param_specs, adam_specs(param_specs), dspec, P(None, MODEL_AXIS), P(), P()
+        )
+        # fine-grained core: refreshes under a per-step lax.cond — needed
+        # when refresh_steps < steps-per-epoch, but the cond forces XLA to
+        # copy the multi-GB planes through the scan carry every step
         self._lazy_epoch_sharded = shard_map(
             self._lazy_epoch_core,
             mesh=self.mesh,
             in_specs=in_specs,
             out_specs=out_specs,
+        )
+        # cond-free core: the planes are scan-invariant closure inputs, so
+        # epochs between refreshes never touch (let alone copy) them
+        self._lazy_epoch_norefresh = shard_map(
+            self._lazy_epoch_core_norefresh,
+            mesh=self.mesh,
+            in_specs=in_specs[:9],
+            out_specs=(param_specs, adam_specs(param_specs), P(), P()),
+        )
+        self._refresh_sharded = shard_map(
+            self._refresh_core,
+            mesh=self.mesh,
+            in_specs=(param_specs, P()),
+            out_specs=(dspec, P(None, MODEL_AXIS)),
         )
         donate_args = (0, 1) if donate else ()
         self._run = jax.jit(self._lazy_run_impl, donate_argnums=donate_args)
@@ -121,8 +144,28 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             donate_argnums=(0, 1, 2) if donate else (),
         )
 
+    def _refresh_core(self, params, W):
+        points = params["lookup"][self._digits].reshape(W.shape[1], -1)
+        return fsw_lazy_refresh(params["fsw"], points, W, group=REFRESH_GROUP)
+
     # -- lazy core (per-device under shard_map) -------------------------------
+    @staticmethod
+    def _take_planes(planes, lidx, n):
+        """Batch-row gather planes[lidx] as n explicit dynamic slices.
+
+        `planes[lidx]` (an XLA gather) lowers on TPU to a full sweep over the
+        ENTIRE (n_bucket, C, V) operand per step (measured 7.8 ms/step at
+        2.5 GB planes — the whole tensor is read to select 16 rows);
+        per-row dynamic_slice_in_dim lowers to contiguous row copies
+        (~0.3 ms for the same batch)."""
+        rows = [
+            jax.lax.dynamic_slice_in_dim(planes, lidx[i], 1, axis=0)
+            for i in range(n)
+        ]
+        return jnp.concatenate(rows, axis=0)
+
     def _lazy_batch_loss(self, params, db, gb, dist, idx, mask):
+        # db: (Bl, C_local, V) delta planes; gb: (Bl, C_local) g2 rows
         e_local = fsw_lazy_apply(params, db, gb, self._digits, model_axis=MODEL_AXIS)
         emb = jax.lax.all_gather(e_local, DATA_AXIS, axis=0, tiled=True)
         model_dist = pairwise_l2_exact(emb)
@@ -147,8 +190,8 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             )
             my_d = jax.lax.axis_index(DATA_AXIS)
             lidx = jax.lax.dynamic_slice(idx, (my_d * self.local_b,), (self.local_b,))
-            db = delta[lidx]
-            gb = gdelta[lidx]
+            db = self._take_planes(delta, lidx, self.local_b)
+            gb = gdelta[lidx]  # (Bl, C_local): tiny, plain gather is fine
             active = mask[0]
             loss, grads = jax.value_and_grad(
                 lambda p: self._lazy_batch_loss(p, db, gb, dist, idx, mask)
@@ -167,17 +210,47 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         epoch_loss = jnp.sum(losses * counts) / jnp.maximum(jnp.sum(counts), 1)
         return params, opt, delta, gdelta, epoch_loss, losses
 
+    def _lazy_epoch_core_norefresh(
+        self, params, opt, W, dist, idx_all, mask_all, lr, delta, gdelta
+    ):
+        """One epoch against a FIXED delta plane + g2 matrix: no cond, no
+        plane carry — loop-invariant inputs, so XLA streams them read-only."""
+
+        def batch_step(carry, inp):
+            params, opt = carry
+            idx, mask = inp
+            my_d = jax.lax.axis_index(DATA_AXIS)
+            lidx = jax.lax.dynamic_slice(idx, (my_d * self.local_b,), (self.local_b,))
+            db = self._take_planes(delta, lidx, self.local_b)
+            gb = gdelta[lidx]  # (Bl, C_local): tiny, plain gather is fine
+            active = mask[0]
+            loss, grads = jax.value_and_grad(
+                lambda p: self._lazy_batch_loss(p, db, gb, dist, idx, mask)
+            )(params)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            params, opt = adam_update(params, grads, opt, lr, active=active)
+            count = jnp.sum(mask)
+            return (params, opt), (jnp.where(active, loss, 0.0), count)
+
+        (params, opt), (losses, counts) = jax.lax.scan(
+            batch_step, (params, opt), (idx_all, mask_all)
+        )
+        epoch_loss = jnp.sum(losses * counts) / jnp.maximum(jnp.sum(counts), 1)
+        return params, opt, epoch_loss, losses
+
     # -- jitted entry points ---------------------------------------------------
     def _zero_planes(self, params):
         d_out = params["fsw"]["slices"].shape[0]
         V = self._digits.shape[0]
-        shape = (self.n_bucket, d_out, V)
-        sharding = NamedSharding(self.mesh, self._dspec)
-        z = jnp.zeros(shape, jnp.float32)
-        return (
-            jax.lax.with_sharding_constraint(z, sharding),
-            jax.lax.with_sharding_constraint(jnp.zeros(shape, jnp.float32), sharding),
+        delta = jax.lax.with_sharding_constraint(
+            jnp.zeros((self.n_bucket, d_out, V), jnp.float32),
+            NamedSharding(self.mesh, self._dspec),
         )
+        g2 = jax.lax.with_sharding_constraint(
+            jnp.zeros((self.n_bucket, d_out), jnp.float32),
+            NamedSharding(self.mesh, P(None, MODEL_AXIS)),
+        )
+        return delta, g2
 
     def _lazy_run_impl(self, params, opt, feats, dist, key, lr, n_items):
         perm = _packed_perm(key, self.n_bucket, n_items)
@@ -190,33 +263,81 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         )
         return params, opt, eloss, losses
 
+    def _epoch_plan(self, base_key, e, n_items):
+        perm = _packed_perm(jax.random.fold_in(base_key, e), self.n_bucket, n_items)
+        return _batch_index_plan_dyn(
+            self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
+        )
+
     def _lazy_span_impl(
         self, params, opt, best, feats, dist, base_key, epoch0, lr_args, n_items, span
     ):
         lr0, lr_min, lr_decay, lr_base, lr_freq = lr_args
-        delta0, gdelta0 = self._zero_planes(params)
 
-        def epoch_body(carry, e):
-            params, opt, best_params, lowest, best_epoch, delta, gdelta = carry
-            lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
-            perm = _packed_perm(jax.random.fold_in(base_key, e), self.n_bucket, n_items)
-            idx, mask = _batch_index_plan_dyn(
-                self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
-            )
-            # step counter from SPAN start: the first step always refreshes,
-            # so the zero-initialized planes are never consumed
-            step0 = (e - epoch0) * self.n_batches
-            params, opt, delta, gdelta, eloss, _ = self._lazy_epoch_sharded(
-                params, opt, feats, dist, idx, mask, lr, delta, gdelta, step0
-            )
-            better = eloss < lowest
-            best_params = fold_best(better, best_params, params)
-            lowest = jnp.where(better, eloss, lowest)
-            best_epoch = jnp.where(better, e, best_epoch)
-            return (params, opt, best_params, lowest, best_epoch, delta, gdelta), eloss
+        if self.refresh_steps < self.n_batches:
+            # fine-grained: refresh under a per-step cond inside the epoch
+            # (pays a plane copy per step — only used for sub-epoch refresh)
+            delta0, gdelta0 = self._zero_planes(params)
 
-        carry = (params, opt, best[0], best[1], best[2], delta0, gdelta0)
-        (params, opt, bp, lo, be, _, _), losses = jax.lax.scan(
-            epoch_body, carry, epoch0 + jnp.arange(span)
+            def epoch_body(carry, e):
+                params, opt, best_params, lowest, best_epoch, delta, gdelta = carry
+                lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
+                idx, mask = self._epoch_plan(base_key, e, n_items)
+                # step counter from SPAN start: the first step always
+                # refreshes, so the zero-initialized planes are never consumed
+                step0 = (e - epoch0) * self.n_batches
+                params, opt, delta, gdelta, eloss, _ = self._lazy_epoch_sharded(
+                    params, opt, feats, dist, idx, mask, lr, delta, gdelta, step0
+                )
+                better = eloss < lowest
+                best_params = fold_best(better, best_params, params)
+                lowest = jnp.where(better, eloss, lowest)
+                best_epoch = jnp.where(better, e, best_epoch)
+                return (
+                    params, opt, best_params, lowest, best_epoch, delta, gdelta
+                ), eloss
+
+            carry = (params, opt, best[0], best[1], best[2], delta0, gdelta0)
+            (params, opt, bp, lo, be, _, _), losses = jax.lax.scan(
+                epoch_body, carry, epoch0 + jnp.arange(span)
+            )
+            return params, opt, (bp, lo, be), losses
+
+        # block-structured: refresh unconditionally every R_e epochs, then run
+        # those epochs against the planes as loop-INVARIANT inputs — no cond,
+        # no carry, so the multi-GB planes are never copied. R_e snaps to a
+        # divisor of the span (span sizes are powers of two).
+        R_e = max(1, min(self.refresh_steps // self.n_batches, span))
+        while span % R_e:
+            R_e -= 1
+        n_blocks = span // R_e
+
+        def block_body(carry, b):
+            params, opt, best_params, lowest, best_epoch = carry
+            delta, gdelta = self._refresh_sharded(params, feats)
+
+            def epoch_body(carry2, e):
+                params, opt, best_params, lowest, best_epoch = carry2
+                lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
+                idx, mask = self._epoch_plan(base_key, e, n_items)
+                params, opt, eloss, _ = self._lazy_epoch_norefresh(
+                    params, opt, feats, dist, idx, mask, lr, delta, gdelta
+                )
+                better = eloss < lowest
+                best_params = fold_best(better, best_params, params)
+                lowest = jnp.where(better, eloss, lowest)
+                best_epoch = jnp.where(better, e, best_epoch)
+                return (params, opt, best_params, lowest, best_epoch), eloss
+
+            e0 = epoch0 + b * R_e
+            carry2, losses_b = jax.lax.scan(
+                epoch_body, (params, opt, best_params, lowest, best_epoch),
+                e0 + jnp.arange(R_e),
+            )
+            return carry2, losses_b
+
+        carry = (params, opt, best[0], best[1], best[2])
+        (params, opt, bp, lo, be), losses = jax.lax.scan(
+            block_body, carry, jnp.arange(n_blocks)
         )
-        return params, opt, (bp, lo, be), losses
+        return params, opt, (bp, lo, be), losses.reshape(span)
