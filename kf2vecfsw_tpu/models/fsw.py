@@ -385,7 +385,13 @@ def fsw_lazy_apply(params, delta, g2, vocab_digits, model_axis: str | None = Non
     V = delta.shape[-1]
     points = params["lookup"][vocab_digits].reshape(V, -1)
     p = params["fsw"]["slices"] @ points.T  # (C, V)
-    fsw_out = jnp.einsum("cv,bcv->bc", p, delta)  # (B, C)
+    # HIGHEST precision: the default TPU matmul precision is bf16, whose
+    # ~8-bit mantissa over 8192 cancelling terms would break the
+    # refresh_steps=1 == exact-shared-path contract (the exact path reduces
+    # in full f32); the contraction is HBM-bound so this costs ~nothing
+    fsw_out = jnp.einsum(
+        "cv,bcv->bc", p, delta, precision=jax.lax.Precision.HIGHEST
+    )  # (B, C)
     fsw_out = fsw_out + (freqs - jax.lax.stop_gradient(freqs))[None, :] * g2
     h = fsw_out @ params["fc1"]["w"]
     if model_axis is not None:

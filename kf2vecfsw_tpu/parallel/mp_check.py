@@ -179,11 +179,14 @@ def run_worker_distance(
 
 
 def run_worker_fsw(
-    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str
+    process_id: int, num_processes: int, coordinator: str, fixture_dir: str, out_dir: str,
+    lazy: bool = False,
 ):
     """The FSW (NeuralNetFSW) distance trainer over a multi-process mesh:
     the batched minor-axis sort + slice shards run under real cross-process
-    collectives."""
+    collectives. lazy=True opts into the lazy sort-refresh runner
+    (train/fsw_lazy.py) — requires a canonical full-vocab fixture so the
+    shared-vocab path engages."""
     import glob
 
     import jax
@@ -210,6 +213,7 @@ def run_worker_fsw(
         mesh=make_mesh(),
         log_every=10,
         autosave_every=0,
+        fsw_lazy_refresh=2 if lazy else 0,
     )
 
 
@@ -408,6 +412,9 @@ def main(argv=None):
         return
     if argv and argv[0] == "fsw":
         run_worker_fsw(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])
+        return
+    if argv and argv[0] == "fsw_lazy":
+        run_worker_fsw(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5], lazy=True)
         return
     if argv and argv[0] == "resume":
         run_worker_resume(int(argv[1]), int(argv[2]), argv[3], argv[4], argv[5])

@@ -332,8 +332,10 @@ def _train_all(
             from .fsw_lazy import FSWLazyEpochRunner, lazy_applicable
             from .step import bucket_items
 
+            nb = bucket_items(max(len(train_idx), 1))
             use_lazy = lazy_applicable(
-                bucket_items(max(len(train_idx), 1)), fswout_dim, train_feats.shape[1]
+                nb, fswout_dim, train_feats.shape[1],
+                double_buffered=fsw_lazy_refresh < -(-nb // batch_size),
             )
             if not use_lazy:
                 log.info(

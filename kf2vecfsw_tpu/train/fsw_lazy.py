@@ -59,8 +59,14 @@ FSW_LAZY_BUDGET_BYTES = 6 << 30
 REFRESH_GROUP = 8
 
 
-def lazy_applicable(n_bucket: int, d_out: int, vocab: int) -> bool:
-    return 4 * n_bucket * d_out * vocab <= FSW_LAZY_BUDGET_BYTES
+def lazy_applicable(
+    n_bucket: int, d_out: int, vocab: int, double_buffered: bool = False
+) -> bool:
+    """double_buffered: the fine-grained per-step-cond core (engaged when
+    refresh_steps < steps-per-epoch) copies the delta plane through the scan
+    carry, so its peak holds TWO planes."""
+    planes = 2 if double_buffered else 1
+    return planes * 4 * n_bucket * d_out * vocab <= FSW_LAZY_BUDGET_BYTES
 
 
 class FSWLazyEpochRunner(DistanceEpochRunner):
@@ -127,7 +133,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         self._lazy_epoch_norefresh = shard_map(
             self._lazy_epoch_core_norefresh,
             mesh=self.mesh,
-            in_specs=in_specs[:9],
+            in_specs=(in_specs[0], in_specs[1]) + in_specs[3:9],
             out_specs=(param_specs, adam_specs(param_specs), P(), P()),
         )
         self._refresh_sharded = shard_map(
@@ -164,6 +170,21 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         ]
         return jnp.concatenate(rows, axis=0)
 
+    def _plane_batch_step(self, params, opt, delta, g2, dist, idx, mask, lr):
+        """One batch step against given (delta, g2): shared by the cond and
+        cond-free epoch cores."""
+        my_d = jax.lax.axis_index(DATA_AXIS)
+        lidx = jax.lax.dynamic_slice(idx, (my_d * self.local_b,), (self.local_b,))
+        db = self._take_planes(delta, lidx, self.local_b)
+        gb = g2[lidx]  # (Bl, C_local): tiny, plain gather is fine
+        active = mask[0]
+        loss, grads = jax.value_and_grad(
+            lambda p: self._lazy_batch_loss(p, db, gb, dist, idx, mask)
+        )(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        params, opt = adam_update(params, grads, opt, lr, active=active)
+        return params, opt, jnp.where(active, loss, 0.0), jnp.sum(mask)
+
     def _lazy_batch_loss(self, params, db, gb, dist, idx, mask):
         # db: (Bl, C_local, V) delta planes; gb: (Bl, C_local) g2 rows
         e_local = fsw_lazy_apply(params, db, gb, self._digits, model_axis=MODEL_AXIS)
@@ -188,21 +209,10 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             delta, gdelta = jax.lax.cond(
                 step % R == 0, do_refresh, lambda p: (delta, gdelta), params
             )
-            my_d = jax.lax.axis_index(DATA_AXIS)
-            lidx = jax.lax.dynamic_slice(idx, (my_d * self.local_b,), (self.local_b,))
-            db = self._take_planes(delta, lidx, self.local_b)
-            gb = gdelta[lidx]  # (Bl, C_local): tiny, plain gather is fine
-            active = mask[0]
-            loss, grads = jax.value_and_grad(
-                lambda p: self._lazy_batch_loss(p, db, gb, dist, idx, mask)
-            )(params)
-            grads = jax.lax.psum(grads, DATA_AXIS)
-            params, opt = adam_update(params, grads, opt, lr, active=active)
-            count = jnp.sum(mask)
-            return (params, opt, delta, gdelta, step + 1), (
-                jnp.where(active, loss, 0.0),
-                count,
+            params, opt, loss, count = self._plane_batch_step(
+                params, opt, delta, gdelta, dist, idx, mask, lr
             )
+            return (params, opt, delta, gdelta, step + 1), (loss, count)
 
         (params, opt, delta, gdelta, _), (losses, counts) = jax.lax.scan(
             batch_step, (params, opt, delta, gdelta, step0), (idx_all, mask_all)
@@ -211,7 +221,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         return params, opt, delta, gdelta, epoch_loss, losses
 
     def _lazy_epoch_core_norefresh(
-        self, params, opt, W, dist, idx_all, mask_all, lr, delta, gdelta
+        self, params, opt, dist, idx_all, mask_all, lr, delta, gdelta
     ):
         """One epoch against a FIXED delta plane + g2 matrix: no cond, no
         plane carry — loop-invariant inputs, so XLA streams them read-only."""
@@ -219,18 +229,10 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         def batch_step(carry, inp):
             params, opt = carry
             idx, mask = inp
-            my_d = jax.lax.axis_index(DATA_AXIS)
-            lidx = jax.lax.dynamic_slice(idx, (my_d * self.local_b,), (self.local_b,))
-            db = self._take_planes(delta, lidx, self.local_b)
-            gb = gdelta[lidx]  # (Bl, C_local): tiny, plain gather is fine
-            active = mask[0]
-            loss, grads = jax.value_and_grad(
-                lambda p: self._lazy_batch_loss(p, db, gb, dist, idx, mask)
-            )(params)
-            grads = jax.lax.psum(grads, DATA_AXIS)
-            params, opt = adam_update(params, grads, opt, lr, active=active)
-            count = jnp.sum(mask)
-            return (params, opt), (jnp.where(active, loss, 0.0), count)
+            params, opt, loss, count = self._plane_batch_step(
+                params, opt, delta, gdelta, dist, idx, mask, lr
+            )
+            return (params, opt), (loss, count)
 
         (params, opt), (losses, counts) = jax.lax.scan(
             batch_step, (params, opt), (idx_all, mask_all)
@@ -257,6 +259,14 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         idx, mask = _batch_index_plan_dyn(
             self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
         )
+        if self.refresh_steps >= self.n_batches:
+            # one refresh covers the whole epoch: cond-free core (no plane
+            # copies; matches the block-structured span path)
+            delta, gdelta = self._refresh_sharded(params, feats)
+            params, opt, eloss, losses = self._lazy_epoch_norefresh(
+                params, opt, dist, idx, mask, lr, delta, gdelta
+            )
+            return params, opt, eloss, losses
         delta, gdelta = self._zero_planes(params)
         params, opt, _, _, eloss, losses = self._lazy_epoch_sharded(
             params, opt, feats, dist, idx, mask, lr, delta, gdelta, jnp.int32(0)
@@ -321,7 +331,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
                 lr = device_step_lr(e, lr0, lr_min, lr_decay, lr_base, lr_freq)
                 idx, mask = self._epoch_plan(base_key, e, n_items)
                 params, opt, eloss, _ = self._lazy_epoch_norefresh(
-                    params, opt, feats, dist, idx, mask, lr, delta, gdelta
+                    params, opt, dist, idx, mask, lr, delta, gdelta
                 )
                 better = eloss < lowest
                 best_params = fold_best(better, best_params, params)

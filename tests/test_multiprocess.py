@@ -284,6 +284,41 @@ def test_two_process_fsw_trainer(tmp_path):
     _run_both(tmp_path, fixture, "fsw")
 
 
+def test_two_process_fsw_lazy_trainer(tmp_path):
+    """The lazy sort-refresh FSW runner (train/fsw_lazy.py, block-structured
+    refresh spans) under a real 2-process mesh: canonical full-vocab point
+    sets so the shared-vocab path engages and -fsw_lazy_refresh applies."""
+    from kf2vecfsw_tpu.kmer.vocab import (
+        FSW_BASE_MAP,
+        canonical_vocab_codes,
+        codes_to_digit_matrix,
+    )
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    rng = np.random.default_rng(29)
+    fixture = tmp_path / "fix"
+    (fixture / "npy").mkdir(parents=True)
+    names = [f"g{i}" for i in range(8)]
+    k = 3
+    digits = codes_to_digit_matrix(canonical_vocab_codes(k), k, FSW_BASE_MAP).astype(
+        np.float32
+    )
+    for g in names:
+        freqs = rng.random((digits.shape[0], 1)).astype(np.float32)
+        np.save(str(fixture / "npy" / f"{g}_k{k}.npy"), np.hstack([digits, freqs]))
+    (fixture / "t.subtrees").write_text(
+        "genome clade\n" + "".join(f"{g} 0\n" for g in names)
+    )
+    d = np.abs(rng.normal(size=(8, 8)))
+    d = d + d.T
+    np.fill_diagonal(d, 0)
+    write_di_mtrx(str(fixture / "t_subtree_0.di_mtrx"), names, d)
+    out1, _ = _run_both(tmp_path, fixture, "fsw_lazy")
+    # the lazy runner actually engaged (log line from train/distance.py)
+    logs = list(out1.glob("train_model_*.log"))
+    assert any("lazy sort-refresh" in p.read_text() for p in logs)
+
+
 def test_two_process_kill_and_resume(tmp_path):
     """Multi-process kill-mid-run + -resume: 2 processes train 8 epochs with
     autosaves, 'crash', then resume to 12; the final checkpoint must match
