@@ -152,7 +152,8 @@ def main():
             for line in f:
                 g, c = line.split()
                 clade_of[g] = int(c)
-        correct_class = correct_place = total = 0
+        correct_class = top1 = top3 = total = 0
+        ranks = []
         import csv
         import glob as _glob
 
@@ -169,12 +170,23 @@ def main():
                     if clade_of.get(src) == c:
                         correct_class += 1
                     dists = np.array([float(x) for x in row[1:]])
-                    if backbone[int(dists.argmin())] == src:
-                        correct_place += 1
-        results[tag] = (correct_class, correct_place, total, t_dist, t_q)
+                    if src not in backbone:
+                        ranks.append(len(backbone))
+                        continue
+                    # rank of the source among backbone genomes by distance
+                    # (the simulated coalescent makes sister taxa near-
+                    # identical, so strict nearest==source is noise-bound;
+                    # top-3 + rank distribution is the meaningful metric)
+                    order = np.argsort(dists)
+                    rank = int(np.where(np.array(backbone)[order] == src)[0][0])
+                    ranks.append(rank)
+                    top1 += rank == 0
+                    top3 += rank <= 2
+        results[tag] = (correct_class, top1, top3, total, sorted(ranks), t_dist, t_q)
         print(
-            f"[{tag}] classified {correct_class}/{total} into source clade, "
-            f"placed {correct_place}/{total} nearest source (query {t_q:.0f}s)",
+            f"[{tag}] classified {correct_class}/{total} into source clade; "
+            f"source top-1 {top1}/{total}, top-3 {top3}/{total}, "
+            f"ranks={sorted(ranks)} (query {t_q:.0f}s)",
             flush=True,
         )
     print(results, flush=True)

@@ -188,7 +188,10 @@ def fsw_embed(fsw_params, points, weights, slice_chunk: int = 0):
     sl = jnp.pad(slices, ((0, pad), (0, 0)))
     fr = jnp.pad(freqs, (0, pad))
     out = jax.lax.map(
-        chunk_fn,
+        # remat per chunk: lax.map's backward otherwise stacks every chunk's
+        # (N,)-sized sort/cumsum residuals at once, defeating the chunking's
+        # memory bound exactly when it matters (k=9 giant sets)
+        jax.checkpoint(chunk_fn),
         (sl.reshape(n_chunks, slice_chunk, -1), fr.reshape(n_chunks, slice_chunk)),
     )
     return out.reshape(-1)[:d_out]
@@ -230,7 +233,9 @@ def fsw_embed_shared(fsw_params, points, weights, slice_chunk: int = 0):
     sl = jnp.pad(slices, ((0, pad), (0, 0)))
     fr = jnp.pad(freqs, (0, pad))
     out = jax.lax.map(
-        chunk_fn,
+        # remat per chunk (see fsw_embed): bounds the backward's residual
+        # footprint to ONE chunk's (B, Cc, V) transients instead of all
+        jax.checkpoint(chunk_fn),
         (sl.reshape(n_chunks, slice_chunk, -1), fr.reshape(n_chunks, slice_chunk)),
     )  # (n_chunks, B, Cc)
     return jnp.moveaxis(out, 1, 0).reshape(weights.shape[0], -1)[:, :d_out]
