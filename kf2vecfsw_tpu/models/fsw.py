@@ -174,7 +174,7 @@ def fsw_embed(fsw_params, points, weights, slice_chunk: int = 0):
         p = v @ points.T  # (C, N)
         wb = jnp.broadcast_to(wn[None, :], p.shape)
         ps, ws = _sort_pw(p, wb)
-        cs = jnp.cumsum(ws, axis=-1)
+        cs = _cumsum_minor_matmul(ws)
         cbar = cs - ws / 2.0
         delta = _SQRT2 * ws * jnp.cos(jnp.pi * xi[:, None] * cbar) * jnp.sinc(
             xi[:, None] * ws / 2.0
@@ -220,7 +220,7 @@ def fsw_embed_shared(fsw_params, points, weights, slice_chunk: int = 0):
         v, xi = args  # (C, d_in), (C,)
         p = v @ points.T  # (C, V), shared across the batch
         ps, wsb = _sort_shared(p, wn)  # (C, V), (B, C, V)
-        cs = jnp.cumsum(wsb, axis=-1)
+        cs = _cumsum_minor_matmul(wsb)
         cbar = cs - wsb / 2.0
         x = xi[None, :, None]
         delta = _SQRT2 * wsb * jnp.cos(jnp.pi * x * cbar) * jnp.sinc(x * wsb / 2.0)
@@ -290,9 +290,12 @@ def _cumsum_minor_matmul(x, block: int = 256):
     per-block offset scan. f32 operands with HIGHEST precision keep the
     accumulation in f32 (same precision class as the sequential cumsum)."""
     V = x.shape[-1]
-    if V % block or V <= block:
+    if V <= block:
         return jnp.cumsum(x, axis=-1)
-    nb = V // block
+    pad = (-V) % block
+    if pad:  # zero tail padding leaves the first V prefix sums unchanged
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    nb = (V + pad) // block
     xb = x.reshape(x.shape[:-1] + (nb, block))
     tri = jnp.tril(jnp.ones((block, block), x.dtype))
     within = jax.lax.dot_general(
@@ -301,7 +304,8 @@ def _cumsum_minor_matmul(x, block: int = 256):
     )  # (..., nb, block): within[..., k, i] = sum_{j<=i} xb[..., k, j]
     sums = xb.sum(-1)
     offsets = jnp.cumsum(sums, axis=-1) - sums  # exclusive block offsets
-    return (within + offsets[..., None]).reshape(x.shape)
+    out = (within + offsets[..., None]).reshape(x.shape)
+    return out[..., :V] if pad else out
 
 
 def fsw_lazy_refresh(fsw_params, points, W, group: int = 8):

@@ -336,6 +336,7 @@ def _train_all(
             use_lazy = lazy_applicable(
                 nb, fswout_dim, train_feats.shape[1],
                 double_buffered=fsw_lazy_refresh < -(-nb // batch_size),
+                n_model=int(mesh.shape[MODEL_AXIS]),
             )
             if not use_lazy:
                 log.info(

@@ -60,13 +60,23 @@ REFRESH_GROUP = 8
 
 
 def lazy_applicable(
-    n_bucket: int, d_out: int, vocab: int, double_buffered: bool = False
+    n_bucket: int,
+    d_out: int,
+    vocab: int,
+    double_buffered: bool = False,
+    n_model: int = 1,
 ) -> bool:
-    """double_buffered: the fine-grained per-step-cond core (engaged when
+    """Budget check is PER DEVICE: the delta plane is sharded
+    P(None, 'model', None), so a model-axis mesh of n_model chips holds
+    d_out/n_model slice rows each — a plane too big for one chip (e.g. the
+    k=9 regime at V=131072) re-fits on a sharded mesh.
+
+    double_buffered: the fine-grained per-step-cond core (engaged when
     refresh_steps < steps-per-epoch) copies the delta plane through the scan
     carry, so its peak holds TWO planes."""
     planes = 2 if double_buffered else 1
-    return planes * 4 * n_bucket * d_out * vocab <= FSW_LAZY_BUDGET_BYTES
+    d_local = -(-d_out // max(n_model, 1))
+    return planes * 4 * n_bucket * d_local * vocab <= FSW_LAZY_BUDGET_BYTES
 
 
 class FSWLazyEpochRunner(DistanceEpochRunner):

@@ -218,3 +218,19 @@ def test_lazy_trainer_cli_surface(tmp_path):
     X = np.concatenate([digits, rng.random((digits.shape[0], 1)).astype(np.float32)], axis=1)
     emb = fswmod.fsw_dist_embed_apply(jax.device_put(params), jnp.asarray(X[None]))
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_lazy_applicable_gate_is_per_device():
+    """The delta plane is sharded P(None, 'model', None): a k=9-regime plane
+    (n=32, C=512, V=131072 -> 8.6 GB) exceeds the single-chip budget but a
+    4-way model mesh holds 2.2 GB/chip and re-engages the lazy path."""
+    from kf2vecfsw_tpu.train.fsw_lazy import FSW_LAZY_BUDGET_BYTES, lazy_applicable
+
+    n, C, V = 32, 512, 131072
+    assert 4 * n * C * V > FSW_LAZY_BUDGET_BYTES  # sanity: over budget global
+    assert not lazy_applicable(n, C, V)
+    assert not lazy_applicable(n, C, V, n_model=1)
+    assert lazy_applicable(n, C, V, n_model=4)
+    # double-buffered (per-step cond) holds two planes per device
+    assert not lazy_applicable(n, C, V, double_buffered=True, n_model=2)
+    assert lazy_applicable(n, C, V, double_buffered=True, n_model=4)
