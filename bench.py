@@ -411,6 +411,21 @@ def bench_serving() -> dict:
         query_func(qdir, files, mdir, odir, 28, odir)
         dt = time.perf_counter() - t0
 
+        # phase split for the e2e number: text parse (the .kf reads the
+        # serving loop streams) and text format (the APPLES matrix + .emb
+        # rows it writes) measured in isolation — whatever e2e time is not
+        # parse/format is device dispatch + the tunnel RTT of this rig
+        from kf2vecfsw_tpu.io.kf import read_kf_files as _read_kf
+
+        t0 = time.perf_counter()
+        _, qmat = _read_kf(files, dtype=np.float32)
+        t_parse = time.perf_counter() - t0
+        d2_host = np.abs(rng.normal(size=(nq, nb)).astype(np.float32))
+        t0 = time.perf_counter()
+        for i in range(nq):
+            f32_row(d2_host[i])
+        t_format = time.perf_counter() - t0
+
         # on-chip serving: classify forward + query embed + cdist^2 with
         # device-resident inputs (what a PCIe host's serving loop is bound
         # by; the e2e number above includes this rig's tunnel RTTs and the
@@ -448,6 +463,8 @@ def bench_serving() -> dict:
     return {
         "serving_queries_per_s": round(nq / dt, 1),
         "serving_onchip_queries_per_s": round(nq / dt_chip, 1),
+        "serving_parse_ms_per_query": round(1e3 * t_parse / nq, 3),
+        "serving_format_ms_per_query": round(1e3 * t_format / nq, 3),
     }
 
 
