@@ -47,13 +47,21 @@ def point_sets_to_vocab_weights(mats: list[np.ndarray], k: int) -> np.ndarray:
     W = np.zeros((len(mats), len(vocab)), dtype=np.float32)
     for i, m in enumerate(mats):
         digits = m[:, :k].astype(np.int64)
+        # hand-made .npy rows may carry out-of-range digits: raise ValueError
+        # (the trainer's documented fallback to the per-genome path catches
+        # exactly that) instead of IndexError / silent negative-index aliasing
+        if digits.size and (digits.min() < 0 or digits.max() > 3):
+            raise ValueError("point-set rows contain out-of-range base digits")
         codes = np.zeros(len(m), dtype=np.int64)
         for j in range(k):
             codes = (codes << 2) | inv[digits[:, j]]
         idx = np.searchsorted(vocab, codes)
         if idx.size and not np.array_equal(vocab[np.minimum(idx, len(vocab) - 1)], codes):
             raise ValueError("point-set rows contain non-canonical k-mer codes")
-        W[i, idx] = m[:, k]
+        # duplicate rows of the same k-mer SUM (coincident atoms are exactly
+        # one atom of combined mass under the quantile form's telescoping
+        # sinc identity — the per-genome path treats them identically)
+        np.add.at(W[i], idx, m[:, k])
     return W
 
 

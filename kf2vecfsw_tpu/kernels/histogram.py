@@ -359,13 +359,22 @@ def count_canonical_device_kfree_batch_async(codes_list: list[np.ndarray], k: in
     bucketing as the MXU batch path). Returns on-device (G, V) counts."""
     vocab = _vocab_dev(k)
     max_g = max(1, MAX_KFREE_BATCH_BYTES // (4 * (4**k + 1)))
+    while max_g & (max_g - 1):  # power of 2 so the G bucket respects the cap
+        max_g &= max_g - 1
     if len(codes_list) > max_g:
         parts = [
             count_canonical_device_kfree_batch_async(codes_list[i : i + max_g], k)
             for i in range(0, len(codes_list), max_g)
         ]
         return jnp.concatenate(parts, axis=0)
-    g = len(codes_list)
+    g_real = len(codes_list)
+    # G pads to a power-of-2 bucket like the MXU batch path: compiled shapes
+    # depend on (k, L-bucket, G-bucket) only (each new shape costs minutes on
+    # remote compile services); padded rows are all-invalid and count nothing
+    g = 1
+    while g < g_real:
+        g *= 2
+    codes_list = list(codes_list) + [np.zeros(0, dtype=np.uint8)] * (g - g_real)
     length = _bucket_bases(max(c.size for c in codes_list))
     packed = np.zeros((g, length // 4), dtype=np.uint8)
     inv = np.full((g, length // 8), 0xFF, dtype=np.uint8)
@@ -374,6 +383,7 @@ def count_canonical_device_kfree_batch_async(codes_list: list[np.ndarray], k: in
         packed[i, : p.size] = p
         inv[i, : ib.size] = ib
     acc = _count_kfree_batch_jit(jax.device_put(packed), jax.device_put(inv), vocab, k)
+    acc = acc[:g_real]
     try:
         acc.copy_to_host_async()
     except Exception:

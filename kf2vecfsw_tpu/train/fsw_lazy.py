@@ -159,6 +159,13 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             static_argnums=(9,),
             donate_argnums=(0, 1, 2) if donate else (),
         )
+        # per-epoch path (test-set runs drive run_epoch once per epoch): the
+        # plane persists HERE between calls so the refresh keeps the
+        # requested every-R-steps cadence instead of refreshing every epoch
+        self._plane_cache = None
+        self._plane_age = 0  # batch steps trained against the cached plane
+        self._refresh_jit = jax.jit(self._refresh_sharded)
+        self._run_cached = jax.jit(self._lazy_run_cached_impl, donate_argnums=donate_args)
 
     def _refresh_core(self, params, W):
         points = params["lookup"][self._digits].reshape(W.shape[1], -1)
@@ -263,6 +270,35 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             NamedSharding(self.mesh, P(None, MODEL_AXIS)),
         )
         return delta, g2
+
+    def _lazy_run_cached_impl(self, params, opt, delta, gdelta, dist, key, lr, n_items):
+        """One epoch against caller-held planes (no refresh inside)."""
+        perm = _packed_perm(key, self.n_bucket, n_items)
+        idx, mask = _batch_index_plan_dyn(
+            self.n_bucket, self.batch, self.batch_pad, self.n_batches, perm, n_items
+        )
+        params, opt, eloss, losses = self._lazy_epoch_norefresh(
+            params, opt, dist, idx, mask, lr, delta, gdelta
+        )
+        return params, opt, eloss, losses
+
+    def run_epoch(self, params, opt, feats, dist, key, lr):
+        """Epoch-granular driver (test-set runs): refresh the plane only when
+        `refresh_steps` training steps have elapsed since the last refresh,
+        carrying the plane across calls. Sub-epoch refresh intervals keep the
+        in-epoch cond core (refreshes within the epoch as requested)."""
+        if self.refresh_steps < self.n_batches:
+            return super().run_epoch(params, opt, feats, dist, key, lr)
+        if self._plane_cache is None or self._plane_age >= self.refresh_steps:
+            self._plane_cache = self._refresh_jit(params, feats)
+            self._plane_age = 0
+        delta, gdelta = self._plane_cache
+        params, opt, loss, _ = self._run_cached(
+            params, opt, delta, gdelta, dist, key, jnp.float32(lr),
+            jnp.int32(self.n_items),
+        )
+        self._plane_age += self.n_batches
+        return params, opt, loss
 
     def _lazy_run_impl(self, params, opt, feats, dist, key, lr, n_items):
         perm = _packed_perm(key, self.n_bucket, n_items)

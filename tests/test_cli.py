@@ -115,3 +115,29 @@ def test_masked_classifier_roundtrip(tmp_path):
     classify_func(str(kf), files, str(models), 28, str(out))
     got = dict(read_classes_out(str(out / "classes.out")))
     assert got == {n: i % 2 for i, n in enumerate(names)}
+
+
+def test_prefetch_blocks_releases_worker_on_abandon():
+    """A consumer that stops iterating mid-stream must release the producer
+    thread (it previously blocked forever in q.put holding parsed blocks)."""
+    import threading
+    import time as _time
+
+    from kf2vecfsw_tpu.infer.query import _prefetch_blocks
+
+    produced = []
+
+    def blocks():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    n0 = threading.active_count()
+    gen = _prefetch_blocks(blocks(), depth=2)
+    assert next(gen) == 0
+    gen.close()  # abandon mid-stream (fires the generator's finally)
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n0 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() == n0, "prefetch worker thread leaked"
+    assert len(produced) < 100  # the producer stopped early, not drained

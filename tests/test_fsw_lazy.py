@@ -234,3 +234,40 @@ def test_lazy_applicable_gate_is_per_device():
     # double-buffered (per-step cond) holds two planes per device
     assert not lazy_applicable(n, C, V, double_buffered=True, n_model=2)
     assert lazy_applicable(n, C, V, double_buffered=True, n_model=4)
+
+
+def test_lazy_run_epoch_keeps_refresh_cadence():
+    """The per-epoch driver (test-set runs) must refresh every refresh_steps
+    TRAINING steps across run_epoch calls — not once per epoch — and must
+    reproduce the block-structured span path exactly at a constant LR."""
+    W, params0, V = _setup(n_items=8, seed=3)
+    dist = _dist_for(8, seed=3)
+    mesh = make_mesh(1, 1)
+    specs = fswmod.fsw_dist_embed_specs(MODEL_AXIS)
+    params = shard_params(params0, specs, mesh)
+    base = jax.random.PRNGKey(5)
+    span = 4
+    # n_batches = 8/4 = 2; refresh_steps=4 -> refresh every 2 epochs
+    lazy_span = FSWLazyEpochRunner(mesh, K, specs, 8, 4, refresh_steps=4)
+    losses_span = _run_span(
+        lazy_span, params, adam_init(params), W, dist, base, span=span
+    )
+
+    lazy = FSWLazyEpochRunner(mesh, K, specs, 8, 4, refresh_steps=4)
+    refreshes = []
+    inner = lazy._refresh_jit
+    lazy._refresh_jit = lambda p, f: refreshes.append(1) or inner(p, f)
+    p, o = params, adam_init(params)
+    Wp, dp = lazy.pad_items(W), lazy.pad_dist(dist)
+    from kf2vecfsw_tpu.train.step import device_step_lr
+
+    losses = []
+    for e in range(span):
+        # the span computes its LR on device; feed run_epoch the identical value
+        lr_e = float(device_step_lr(jnp.int32(e), 1e-3, 1e-4, 2000.0, 0.1, 100))
+        p, o, loss = lazy.run_epoch(p, o, Wp, dp, jax.random.fold_in(base, e), lr_e)
+        losses.append(float(loss))
+    assert len(refreshes) == 2, refreshes  # epochs 0 and 2 only
+    assert np.allclose(losses, losses_span, rtol=1e-4, atol=1e-6), (
+        losses, losses_span,
+    )

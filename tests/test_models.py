@@ -320,3 +320,45 @@ def test_point_sets_to_vocab_weights_roundtrip():
     for i, m in enumerate(mats):
         assert np.isclose(W[i].sum(), m[:, k].sum())
         assert (W[i] > 0).sum() == m.shape[0]
+
+
+def test_point_sets_to_vocab_weights_duplicates_sum_and_range_check():
+    """Duplicate rows of one k-mer are coincident atoms: their mass SUMS
+    (exactly one atom of combined mass under the quantile form); rows with
+    digits outside 0..3 raise ValueError so the trainer's documented
+    per-genome fallback engages instead of crashing or silently aliasing."""
+    import pytest
+
+    from kf2vecfsw_tpu.ingest.kmers import point_sets_to_vocab_weights
+
+    k = 3
+    base = _rand_point_set_mats(4, k, 1, 6, 7)[0]
+    dup = np.concatenate([base, base[:2]], axis=0)  # first two k-mers twice
+    W_base = point_sets_to_vocab_weights([base], k)[0]
+    W_dup = point_sets_to_vocab_weights([dup], k)[0]
+    cols = np.nonzero(W_dup != W_base)[0]
+    assert len(cols) == 2
+    assert np.allclose(W_dup[cols], 2 * W_base[cols])
+    assert np.isclose(W_dup.sum(), base[:, k].sum() + base[:2, k].sum())
+
+    # shared forward on the summed weights == per-genome forward on the
+    # duplicated point set (telescoping sinc identity)
+    from kf2vecfsw_tpu.models.fsw import (
+        fsw_dist_embed_apply,
+        init_fsw_dist_embed,
+        make_fsw_shared_apply,
+    )
+
+    params = init_fsw_dist_embed(jax.random.PRNGKey(0), k, 3, 24, 16, 8)
+    out_pg = fsw_dist_embed_apply(params, jnp.asarray(dup)[None])
+    out_sh = make_fsw_shared_apply(k)(params, jnp.asarray(W_dup)[None])
+    assert np.allclose(np.asarray(out_pg), np.asarray(out_sh), atol=1e-4)
+
+    bad_hi = base.copy()
+    bad_hi[0, 0] = 4.0
+    with pytest.raises(ValueError):
+        point_sets_to_vocab_weights([bad_hi], k)
+    bad_lo = base.copy()
+    bad_lo[0, 1] = -1.0
+    with pytest.raises(ValueError):
+        point_sets_to_vocab_weights([bad_lo], k)
