@@ -173,50 +173,11 @@ def query_func(
 
 def _prefetch_blocks(blocks_iter, depth: int = 2):
     """Background-thread block prefetcher: host file parse for block z+1
-    overlaps device compute for block z.
+    overlaps device compute for block z. Producer errors re-raise in the
+    consumer; an abandoned consumer releases the worker thread."""
+    from ..utils.prefetch import prefetch_iter
 
-    The producer puts with a timeout and checks a stop event, so a consumer
-    that raises or abandons the generator (e.g. a malformed block fails the
-    forward) releases the worker instead of leaving it blocked in q.put
-    holding parsed blocks for the process lifetime."""
-    import threading
-    from queue import Full, Queue
-
-    q: Queue = Queue(maxsize=depth)
-    stop = threading.Event()
-    DONE = object()
-    ERR = object()
-
-    def _put(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except Full:
-                continue
-        return False
-
-    def worker():
-        try:
-            for b in blocks_iter:
-                if not _put(b):
-                    return
-        except BaseException as e:  # re-raise in the consumer, not the thread
-            _put((ERR, e))
-            return
-        _put(DONE)
-
-    threading.Thread(target=worker, daemon=True).start()
-    try:
-        while True:
-            item = q.get()
-            if item is DONE:
-                return
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
-                raise item[1]
-            yield item
-    finally:
-        stop.set()
+    return prefetch_iter(blocks_iter, depth=depth)
 
 
 def _kf_block_loader(folder: str):

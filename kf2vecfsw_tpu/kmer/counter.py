@@ -113,8 +113,16 @@ class KmerCounter:
     min_kfree_k: int = 10
 
     def __post_init__(self):
-        self.vocab = canonical_vocab_codes(self.k) if self.k <= MAX_DENSE_K else None
-        self._device_fn = None
+        self._vocab: np.ndarray | None = None
+
+    @property
+    def vocab(self) -> np.ndarray | None:
+        """Canonical vocab codes, built lazily and cached: the sparse()
+        path (get_kmers) never touches the vocab, and the eager build cost
+        is real at large k (~800 MB of transients at k=13)."""
+        if self._vocab is None and self.k <= MAX_DENSE_K:
+            self._vocab = canonical_vocab_codes(self.k)
+        return self._vocab
 
     # -- backend resolution -------------------------------------------------
     def _resolved_backend(self) -> str:
@@ -284,6 +292,11 @@ class KmerCounter:
 
             acc, slot = payload
             return finalize_device_counts_kfree(acc[slot], self.k)
+        if kind == "devbatch":
+            from ..kernels.histogram import finalize_device_counts_batch_array
+
+            acc, slot = payload
+            return finalize_device_counts_batch_array(acc, self.k)[slot]
         return payload
 
     def count_finish_batch(self, tokens: list) -> list[np.ndarray]:

@@ -24,11 +24,9 @@ from __future__ import annotations
 
 import math
 import os
-import threading
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from queue import Queue
 
 import jax
 import jax.numpy as jnp
@@ -64,19 +62,24 @@ def _check_fullgenome_width(input_dir_fullgenomes: str, names: list[str], input_
     a raw shape error in the final full-genome pass AFTER all epochs ran."""
     from ..io.kf import read_kf
 
-    for g in names[:1]:
-        p = os.path.join(input_dir_fullgenomes, g + ".kf")
-        if not os.path.exists(p):
-            raise FileNotFoundError(
-                f"-input_dir_fullgenomes is missing {g}.kf (needed for the final full-genome pass)"
-            )
-        _, probe = read_kf(p)
-        if probe.shape[1] != input_size:
-            raise ValueError(
-                f"full-genome feature width {probe.shape[1]} != chunk feature width "
-                f"{input_size}: -input_dir and -input_dir_fullgenomes must be built "
-                f"with the same k"
-            )
+    missing = [
+        g for g in names
+        if not os.path.exists(os.path.join(input_dir_fullgenomes, g + ".kf"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"-input_dir_fullgenomes is missing {len(missing)} .kf file(s) "
+            f"needed for the final full-genome pass (first: {missing[0]}.kf)"
+        )
+    # width probe on the first file only (parsing every file here would
+    # duplicate the final pass's work; existence is the cheap sweep above)
+    _, probe = read_kf(os.path.join(input_dir_fullgenomes, names[0] + ".kf"))
+    if probe.shape[1] != input_size:
+        raise ValueError(
+            f"full-genome feature width {probe.shape[1]} != chunk feature width "
+            f"{input_size}: -input_dir and -input_dir_fullgenomes must be built "
+            f"with the same k"
+        )
 
 
 class ChunkStore:
@@ -424,9 +427,9 @@ def make_chunked_span_runner(
             aux_parts.append(aux_full)
         if tail:
             gidx = perm[n_full * batch_size :]
-            x = _sample(
+            x = _shard_x(_sample(
                 prefix, counts, jax.random.fold_in(key_e, 1 + n_full), gidx
-            )
+            ))
             params, opt, aux_t = loss_and_grad_step(params, opt, x, gidx, lr, consts_v)
             aux_parts.append(jax.tree.map(lambda a: jnp.asarray(a)[None], aux_t))
         aux = jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
@@ -552,22 +555,13 @@ def stage_batch(x, mesh, x_sharding):
 
 
 def _prefetch(batches_iter, depth: int = 2):
-    """Tiny background-thread prefetcher for host-sampled batches."""
-    q: Queue = Queue(maxsize=depth)
-    DONE = object()
+    """Background-thread prefetcher for host-sampled batches. Producer
+    exceptions re-raise in the consumer (a bare worker previously died
+    silently, hanging the training loop on q.get()); an abandoned consumer
+    releases the producer thread."""
+    from ..utils.prefetch import prefetch_iter
 
-    def worker():
-        for b in batches_iter:
-            q.put(b)
-        q.put(DONE)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            return
-        yield item
+    return prefetch_iter(batches_iter, depth=depth)
 
 
 # -- chunked distance trainer --------------------------------------------------
@@ -932,12 +926,18 @@ def train_classifier_chunks_func(
         log.info(f"Dimensions of feature matrix rows: {n_items}, cols: {input_size}")
         log.info(f"Masking: {custom_mask}")
         log.info(f"Cap kmer frequencies: {cap_data}")
-        if column_mask is None:
-            _check_fullgenome_width(input_dir_fullgenomes, names, input_size)
+        # with -mask the chunk width is the masked count; the full-genome
+        # files are UNMASKED, so compare against the mask's source width
+        _check_fullgenome_width(
+            input_dir_fullgenomes, names,
+            int(column_mask.size) if column_mask is not None else input_size,
+        )
 
         clade_map = dict(read_subtrees(clades_info))
         labels = np.array([clade_map[n] for n in names], dtype=np.int32)
-        class_count = int(np.unique(labels).size)
+        from .classifier import validate_class_labels
+
+        class_count = validate_class_labels(labels)
         labels_dev = stage_replicated(labels, mesh)
         log.info(f"Number of Classes: {class_count}")
 
@@ -1052,6 +1052,7 @@ def train_classifier_chunks_func(
             best_params, lowest, best_epoch = best[0], float(best[1]), int(best[2])
             highest_acc = acc_by_epoch.get(best_epoch, resumed_acc)
         else:
+            x_sharding = NamedSharding(mesh, P(DATA_AXIS))
             for epoch in range(start_epoch, num_epochs):
                 lr = step_lr(epoch, lr0, lr_min, lr_decay)
                 # absolute-epoch-keyed RNG: -resume replays the exact stream
@@ -1065,7 +1066,12 @@ def train_classifier_chunks_func(
                         yield gidx.astype(np.int32), store.sample_batch(erng, gidx, draws=1)
 
                 for gidx, x in _prefetch(batches()):
-                    params, opt, loss, corr = step(params, opt, x, gidx, jnp.float32(lr), labels_dev)
+                    # stage with 'data'-axis sharding (like the distance
+                    # trainer's host path): a raw numpy arg would be treated
+                    # as replicated, losing data parallelism on exactly the
+                    # too-big-for-device-store path
+                    x_dev = stage_batch(x, mesh, x_sharding)
+                    params, opt, loss, corr = step(params, opt, x_dev, gidx, jnp.float32(lr), labels_dev)
                     losses.append(loss)
                     corrects.append(corr)
 

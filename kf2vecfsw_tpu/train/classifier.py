@@ -54,6 +54,25 @@ def read_clade_map(subtrees_path: str) -> dict[str, int]:
     return dict(read_subtrees(subtrees_path))
 
 
+def validate_class_labels(labels: np.ndarray) -> int:
+    """Class ids must be exactly {0..C-1} and returns C.
+
+    The class id IS the output column index everywhere downstream
+    (classes.out probability columns, query's model_subtree_{c}.ckpt lookup,
+    the secondary-class post-processor's argsort over columns), so a
+    non-contiguous or negative id in a hand-made .subtrees file would
+    silently mistrain (out-of-range NLL gathers clip under jit) and misroute
+    queries. divide_tree always emits contiguous 0-based ids."""
+    uniq = np.unique(labels)
+    if uniq.size == 0 or uniq[0] != 0 or int(uniq[-1]) != uniq.size - 1:
+        raise ValueError(
+            "clade ids in the .subtrees file must be contiguous 0-based "
+            f"integers (got {uniq[:10].tolist()}...); regenerate it with "
+            "divide_tree"
+        )
+    return int(uniq.size)
+
+
 def write_classes_table(
     path: str,
     genomes: list[str],
@@ -160,7 +179,7 @@ def _train(
 
     clade_map = read_clade_map(clades_info)
     labels = np.array([clade_map[n] for n in names], dtype=np.int32)
-    class_count = int(np.unique(labels).size)
+    class_count = validate_class_labels(labels)
     n_items = len(names)
     log.info(f"Number of Train Samples: {n_items}")
 

@@ -41,7 +41,8 @@ def shard_map(f, *, mesh, in_specs, out_specs, **kw):
     # the replication-check kwarg was renamed check_rep -> check_vma
     params = inspect.signature(_raw_shard_map).parameters
     flag = "check_vma" if "check_vma" in params else "check_rep"
-    return _raw_shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **{flag: False})
+    kw.setdefault(flag, False)
+    return _raw_shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
 
 from ..ops.losses import weighted_sqrt_mse
 from ..ops.pairwise import pairwise_l2_exact
@@ -99,17 +100,6 @@ def adam_specs(param_specs):
     return {"count": P(), "mu": param_specs, "nu": param_specs}
 
 
-def _batch_index_plan(n_items: int, batch: int, batch_pad: int, n_batches: int, perm):
-    """(n_batches, batch_pad) clipped indices + mask from a permutation."""
-    flat = jnp.full((n_batches * batch,), n_items, dtype=jnp.int32)
-    flat = flat.at[: n_items].set(perm.astype(jnp.int32))
-    idx = flat.reshape(n_batches, batch)
-    if batch_pad > batch:
-        idx = jnp.pad(idx, ((0, 0), (0, batch_pad - batch)), constant_values=n_items)
-    mask = idx < n_items
-    return jnp.minimum(idx, n_items - 1), mask
-
-
 def bucket_items(n_items: int, floor: int = 8) -> int:
     """Pad the item dimension to a geometric bucket (ratio 1.25, multiples
     of 8) so compiled programs depend only on the bucket, not the exact
@@ -135,7 +125,8 @@ def _packed_perm(key, n_bucket: int, n_items):
 def _batch_index_plan_dyn(
     n_bucket: int, batch: int, batch_pad: int, n_batches: int, perm_packed, n_items
 ):
-    """_batch_index_plan with a TRACED n_items over a static bucket: because
+    """(n_batches, batch_pad) indices + mask from a packed permutation, with
+    a TRACED n_items over a static bucket: because
     real items are packed first, the mask is simply position < n_items and
     every batch is either fully ahead of the tail or all-fake (except the one
     real tail batch) — matching the reference's batch compositions exactly."""

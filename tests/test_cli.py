@@ -141,3 +141,37 @@ def test_prefetch_blocks_releases_worker_on_abandon():
         _time.sleep(0.05)
     assert threading.active_count() == n0, "prefetch worker thread leaked"
     assert len(produced) < 100  # the producer stopped early, not drained
+
+
+def test_prefetch_propagates_producer_errors():
+    """A producer that raises mid-stream must re-raise in the consumer (a
+    bare worker thread previously died silently, hanging the training loop
+    on q.get() forever)."""
+    import pytest
+
+    from kf2vecfsw_tpu.utils.prefetch import prefetch_iter
+
+    def items():
+        yield 1
+        yield 2
+        raise RuntimeError("producer boom")
+
+    got = []
+    with pytest.raises(RuntimeError, match="producer boom"):
+        for x in prefetch_iter(items(), depth=2):
+            got.append(x)
+    assert got == [1, 2]
+
+
+def test_classifier_rejects_noncontiguous_clade_ids():
+    """Class ids ARE output column indices downstream; a hand-made
+    .subtrees file with gapped/1-based ids must fail fast, not silently
+    mistrain (out-of-range NLL gathers clip under jit)."""
+    import pytest
+
+    from kf2vecfsw_tpu.train.classifier import validate_class_labels
+
+    assert validate_class_labels(np.array([0, 1, 1, 2])) == 3
+    for bad in ([1, 2, 3], [0, 2], [0, -1, 1], []):
+        with pytest.raises(ValueError, match="contiguous 0-based"):
+            validate_class_labels(np.array(bad, dtype=np.int64))
