@@ -394,7 +394,10 @@ int64_t kf2vec_parse_fasta(const uint8_t* data, int64_t n, uint8_t* out,
   bool in_header = false;
   while (i < n) {
     uint8_t ch = data[i];
-    if (ch == '>') {
+    // '>' INSIDE a header line is description text, not a new record
+    // (matches io/fasta.py:_parse_fasta, which scans for '>' only after
+    // the header's newline)
+    if (ch == '>' && !in_header) {
       if (nrec >= max_records) return -1;
       rec_offsets[nrec++] = o;
       in_header = true;
@@ -481,16 +484,20 @@ int64_t kf2vec_format_counts(const int64_t* vals, int64_t n, char* out) {
   for (int64_t i = 0; i < n; ++i) {
     if (i) *p++ = ',';
     int64_t v = vals[i];
+    // negate via uint64: -INT64_MIN is signed-overflow UB in int64
+    uint64_t u;
     if (v < 0) {
       *p++ = '-';
-      v = -v;
+      u = ~(uint64_t)v + 1;
+    } else {
+      u = (uint64_t)v;
     }
     char tmp[20];
     int len = 0;
     do {
-      tmp[len++] = (char)('0' + v % 10);
-      v /= 10;
-    } while (v);
+      tmp[len++] = (char)('0' + u % 10);
+      u /= 10;
+    } while (u);
     while (len) *p++ = tmp[--len];
     *p++ = '.';
     *p++ = '0';

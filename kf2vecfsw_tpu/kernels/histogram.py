@@ -354,6 +354,41 @@ def _count_kfree_batch_jit(packed: jax.Array, inv_bits: jax.Array, vocab: jax.Ar
     return jnp.take(dense, vocab, axis=1)
 
 
+def _pack_genome_batch(codes_list: list[np.ndarray]):
+    """Shared batch packer for the MXU and k-free device paths: G pads to a
+    power-of-2 bucket so compiled shapes depend on (k, L-bucket, G-bucket)
+    only (each new shape costs minutes on remote compile services); padded
+    rows are all-invalid and count nothing. Rows pad by MARKING the tail
+    invalid (0xFF invalid bits over packed=0) rather than materializing an
+    INVALID-filled base array per genome — packing reads each genome in
+    place (the 8 MB memset + copy per genome cost more host time than the
+    packing itself). Returns (g_real, packed (G, L/4), invbits (G, L/8))."""
+    g_real = len(codes_list)
+    g = 1
+    while g < g_real:
+        g *= 2
+    codes_list = list(codes_list) + [np.zeros(0, dtype=np.uint8)] * (g - g_real)
+    length = _bucket_bases(max(c.size for c in codes_list))
+    packed = np.zeros((g, length // 4), dtype=np.uint8)
+    invb = np.full((g, length // 8), 0xFF, dtype=np.uint8)
+    for i, c in enumerate(codes_list):
+        # pack_2bit pads the last partial byte-group with INVALID itself;
+        # the rest of the row stays packed=0 under 0xFF invalid bits
+        p, ib, _ = pack_2bit(np.asarray(c, dtype=np.uint8))
+        packed[i, : p.size] = p
+        invb[i, : ib.size] = ib
+    return g_real, packed, invb
+
+
+def _readback_async(acc: jax.Array) -> jax.Array:
+    """Start the device->host copy eagerly; the finalize fetch only waits."""
+    try:
+        acc.copy_to_host_async()
+    except Exception:
+        pass
+    return acc
+
+
 def count_canonical_device_kfree_batch_async(codes_list: list[np.ndarray], k: int) -> jax.Array:
     """One dispatch for G genomes through the k-free path (same length
     bucketing as the MXU batch path). Returns on-device (G, V) counts."""
@@ -366,29 +401,10 @@ def count_canonical_device_kfree_batch_async(codes_list: list[np.ndarray], k: in
             count_canonical_device_kfree_batch_async(codes_list[i : i + max_g], k)
             for i in range(0, len(codes_list), max_g)
         ]
-        return jnp.concatenate(parts, axis=0)
-    g_real = len(codes_list)
-    # G pads to a power-of-2 bucket like the MXU batch path: compiled shapes
-    # depend on (k, L-bucket, G-bucket) only (each new shape costs minutes on
-    # remote compile services); padded rows are all-invalid and count nothing
-    g = 1
-    while g < g_real:
-        g *= 2
-    codes_list = list(codes_list) + [np.zeros(0, dtype=np.uint8)] * (g - g_real)
-    length = _bucket_bases(max(c.size for c in codes_list))
-    packed = np.zeros((g, length // 4), dtype=np.uint8)
-    inv = np.full((g, length // 8), 0xFF, dtype=np.uint8)
-    for i, c in enumerate(codes_list):
-        p, ib, _ = pack_2bit(np.asarray(c, dtype=np.uint8))
-        packed[i, : p.size] = p
-        inv[i, : ib.size] = ib
+        return _readback_async(jnp.concatenate(parts, axis=0))
+    g_real, packed, inv = _pack_genome_batch(codes_list)
     acc = _count_kfree_batch_jit(jax.device_put(packed), jax.device_put(inv), vocab, k)
-    acc = acc[:g_real]
-    try:
-        acc.copy_to_host_async()
-    except Exception:
-        pass
-    return acc
+    return _readback_async(acc[:g_real])
 
 
 def count_canonical_device(codes_u8: np.ndarray, k: int) -> np.ndarray:
@@ -586,28 +602,7 @@ def count_canonical_device_batch_async(codes_list: list[np.ndarray], k: int) -> 
     global _USE_INT8
     interpret = bool(os.environ.get("KF2VEC_PALLAS_INTERPRET"))
     use_pallas = jax.default_backend() == "tpu" or interpret
-    length = _bucket_bases(max(c.size for c in codes_list))
-    # G pads to a power-of-2 bucket: compiled program shapes then depend on
-    # (k, L-bucket, G-bucket) only — a bounded set despite varying batch
-    # sizes (each new shape costs minutes on remote compile services; padded
-    # rows are all-invalid and count nothing)
-    g_real = len(codes_list)
-    g = 1
-    while g < g_real:
-        g *= 2
-    codes_list = list(codes_list) + [np.zeros(0, dtype=np.uint8)] * (g - g_real)
-    # rows are padded by MARKING the tail invalid (0xFF invalid bits) rather
-    # than materializing an INVALID-filled base array per genome — packing
-    # reads each genome in place (the 8 MB memset + copy per genome cost
-    # more host time than the packing itself)
-    packed = np.zeros((g, length // 4), dtype=np.uint8)
-    invb = np.full((g, length // 8), 0xFF, dtype=np.uint8)
-    for i, c in enumerate(codes_list):
-        # pack_2bit pads the last partial byte-group with INVALID itself;
-        # the rest of the row stays packed=0 under 0xFF invalid bits
-        p, ib, _ = pack_2bit(np.asarray(c, dtype=np.uint8))
-        packed[i, : p.size] = p
-        invb[i, : ib.size] = ib
+    _, packed, invb = _pack_genome_batch(codes_list)
     packed_dev = jax.device_put(packed)
     inv_dev = jax.device_put(invb)
     if not use_pallas:

@@ -430,11 +430,14 @@ FSW_SORT_BUDGET_BYTES = 2 << 30
 
 def _auto_slice_chunk(b: int, n: int, d_out: int) -> int:
     per_slice = 4 * b * n * 4  # 4 f32-sized (B, 1, N) buffers per slice
-    chunk = max(32, FSW_SORT_BUDGET_BYTES // max(per_slice, 1))
+    # floor of 8 (f32 sublane tile), NOT a fixed 32: with giant per-slice
+    # transients (large B x N) a 32-slice floor would exceed the budget by
+    # 4x exactly in the regime the budget exists for
+    chunk = max(8, FSW_SORT_BUDGET_BYTES // max(per_slice, 1))
     if chunk >= d_out:
         return 0  # unchunked: one fused sort over all slices
     # power-of-2 bucket so recompiles stay bounded across clades
-    p = 32
+    p = 8
     while p * 2 <= chunk:
         p *= 2
     return p

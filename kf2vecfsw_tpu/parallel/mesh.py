@@ -99,3 +99,26 @@ def shard_params(params, specs, mesh: Mesh):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def fetch_replicated(tree, mesh: Mesh):
+    """Device tree -> host numpy tree, correct for ANY sharding.
+
+    Model-axis-sharded leaves (e.g. FSW slices under P('model', None)) are
+    first re-laid-out as fully replicated — a jitted identity with
+    replicated out_shardings, i.e. an all-gather over the mesh — so the
+    subsequent device_get never touches non-addressable shards on
+    multi-host meshes. EVERY process must call this (the gather is a
+    collective); gate any file writes on is_coordinator afterwards."""
+    rep = NamedSharding(mesh, P())
+    leaves = jax.tree.leaves(tree)
+    if all(
+        getattr(x, "sharding", None) is None or x.sharding.is_fully_replicated
+        for x in leaves
+    ):
+        return jax.device_get(tree)
+    gathered = jax.jit(
+        lambda t: t,
+        out_shardings=jax.tree.map(lambda _: rep, tree),
+    )(tree)
+    return jax.device_get(gathered)

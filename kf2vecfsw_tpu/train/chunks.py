@@ -846,7 +846,7 @@ def train_model_set_chunks_func(
                 full_names, full_feats = load_kf_matrix(full_paths)
                 full_feats = full_feats * F32(defaults.FEATURES_SCALER)
                 export_embeddings(
-                    lambda p, x: dist_embed_apply(p, x),
+                    jax.jit(lambda p, x: dist_embed_apply(p, x)),
                     jax.device_get(best_params),
                     full_feats,
                     full_names,

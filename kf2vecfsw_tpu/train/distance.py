@@ -20,16 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def jnp_asarray_f32(x):
-    return jnp.asarray(x)
-
 from .. import defaults
 from ..io.kf import read_kf
 from ..models.fsw import fsw_dist_embed_apply, fsw_dist_embed_specs, init_fsw_dist_embed
 from ..models.mlp import count_params, dist_embed_apply, dist_embed_specs, init_dist_embed
 from ..ops.pairwise import cdist_exact_blocked, squared_clamped
-from ..parallel.mesh import MODEL_AXIS, make_mesh, shard_params
+from ..parallel.mesh import MODEL_AXIS, fetch_replicated, make_mesh, shard_params
 from ..utils.logging import close_logger, make_run_logger, timestamp
 from ..utils.timing import hms
 from .checkpoint import save_checkpoint
@@ -103,13 +99,36 @@ def export_embeddings(
     <1e-6 clamped to 0) and embeddings_subtree_{c}.csv
     (train_model_set.py:602-643). Returns the embeddings.
 
-    Multi-process: only the coordinator computes + writes (params are
-    replicated; concurrent identical writes race)."""
+    apply_fn should be jitted by the CALLER: snapshot exports then reuse one
+    compiled forward per clade instead of recompiling per call. params must
+    be host values (see parallel.mesh.fetch_replicated for sharded trees).
+
+    Multi-process: only the coordinator computes + writes (concurrent
+    identical writes race)."""
     from .resume import is_coordinator
 
     if not is_coordinator():
         return None
-    outputs = np.asarray(jax.jit(lambda p, x: apply_fn(p, x))(params, feats))
+    # blocked forward: one unblocked call materializes O(n_items * N * d_in)
+    # transients (GBs for k=9 FSW point sets even though training is
+    # batch-bounded). FSW 3-D point sets get train-batch-sized blocks; the
+    # tail pads to the block so only one block shape ever compiles.
+    feats = np.asarray(feats)
+    n = feats.shape[0]
+    block = 16 if feats.ndim == 3 else 512
+    if n <= block:
+        outputs = np.asarray(apply_fn(params, feats))
+    else:
+        outs = []
+        for i in range(0, n, block):
+            fb = feats[i : i + block]
+            real = fb.shape[0]
+            if real < block:
+                fb = np.concatenate(
+                    [fb, np.zeros((block - real,) + fb.shape[1:], fb.dtype)]
+                )
+            outs.append(np.asarray(apply_fn(params, fb))[:real])
+        outputs = np.concatenate(outs, axis=0)
     dist = np.asarray(
         squared_clamped(cdist_exact_blocked(jax.numpy.asarray(outputs), jax.numpy.asarray(outputs)))
     )
@@ -219,23 +238,32 @@ def _train_all(
     log.info(f"Number of Classes: {len(clade_order)}")
 
     mesh = mesh or make_mesh()
-    test_ids = read_test_ids(test_ids_path)
+    test_ids = set(read_test_ids(test_ids_path))
     saved: list[str] = []
 
     # available sample names: from the feature file listing
     if use_fsw:
         suffix = None  # resolved per clade after reading one file
-        avail = {
-            _strip_npy_suffix(os.path.basename(f)): f for f in feature_files
-        }
+        avail = {}
+        for f in feature_files:
+            stem = _strip_npy_suffix(os.path.basename(f))
+            if stem in avail:
+                # genome_k7.npy and genome_k9.npy both strip to 'genome':
+                # silently picking one would train the clade at the wrong k
+                raise ValueError(
+                    f"feature dir contains multiple .npy files for '{stem}' "
+                    f"({os.path.basename(avail[stem])} and {os.path.basename(f)}); "
+                    "keep one k per directory"
+                )
+            avail[stem] = f
     else:
         avail = {os.path.basename(f)[: -len(".kf")]: f for f in feature_files}
 
     for c in clade_order:
         log.info(f"\n==> Working on subtree {c}...\n")
         log.info("\n==> Preparing Data...\n")
-        clade_genomes = [g for g, cl in rows if cl == c]
-        backbone_names = [g for g in avail if g in set(clade_genomes)]
+        clade_set = {g for g, cl in rows if cl == c}
+        backbone_names = [g for g in avail if g in clade_set]
 
         if use_fsw:
             mats = [np.load(avail[g]).astype(np.float32) for g in backbone_names]
@@ -508,8 +536,13 @@ def _train_all(
         # used the shared-vocab path (params are interchangeable between
         # the two forwards; embeddings agree to float tolerance).
         export_fwd = fsw_dist_embed_apply if use_fsw else apply_fn
-        export_apply = lambda p, x: export_fwd(p, x, model_axis=None)  # noqa: E731
-        export_embeddings(export_apply, jax.device_get(best_params), feats, backbone_names, model_filepath, c, log)
+        # jit ONCE per clade: interval snapshots below reuse this compiled
+        # forward instead of paying a fresh compile per snapshot
+        export_apply = jax.jit(lambda p, x: export_fwd(p, x, model_axis=None))
+        # collective gather to host on ALL processes (model-axis-sharded
+        # params span hosts); writes stay coordinator-gated inside
+        best_host = fetch_replicated(best_params, mesh)
+        export_embeddings(export_apply, best_host, feats, backbone_names, model_filepath, c, log)
 
         # interval snapshots also get embeddings (train_model_set.py:646-683)
         if save_interval is not None:

@@ -154,3 +154,20 @@ def test_native_partitioned_count_matches_numpy(native, k):
     for threads in (1, 4):
         got = native.count_canonical(codes, k, n_threads=threads)
         assert np.array_equal(got, ref)
+
+
+def test_native_parse_fasta_gt_in_header(native):
+    """A '>' inside a header's description is text, not a record start
+    (matches _parse_fasta, which scans for '>' only after the header's
+    newline). Previously the native parser emitted a phantom empty record."""
+    data = b">r1 cut>site desc\nACGT\nGGCC\n>r2\nTTAA\n"
+    codes, offs = native.parse_fasta_encoded(data)
+    assert offs.tolist() == [0, 8, 12]
+    assert np.array_equal(codes[:8], encode_bases(b"ACGTGGCC"))
+    assert np.array_equal(codes[8:], encode_bases(b"TTAA"))
+
+
+def test_native_format_counts_int64_min(native):
+    """-2^63 negation must go through uint64 (signed negation is UB)."""
+    out = native.format_counts(np.array([np.iinfo(np.int64).min, 7], dtype=np.int64))
+    assert out == "-9223372036854775808.0,7.0\n"
