@@ -175,13 +175,13 @@ def _cmd_process_query_data(args):
     # vectors — produce them from the raw queries before querying (the
     # reference could never query FSW models at all; query.py:118-126)
     fsw_ks = set()
-    from .train.checkpoint import load_checkpoint
-
-    from .train.checkpoint import fsw_k_from_meta
+    from .train.checkpoint import fsw_k_from_meta, load_checkpoint_meta
 
     for ckpt in glob.glob(os.path.join(args.distance_model, "model_subtree_*.ckpt")):
         try:
-            model_name, meta, _ = load_checkpoint(ckpt)
+            # meta-only read: probing N subtree models must not deserialize
+            # every model's full weights (query_func reloads them anyway)
+            model_name, meta = load_checkpoint_meta(ckpt)
             if model_name == "NeuralNetFSW":
                 fsw_ks.add(fsw_k_from_meta(meta))
         except Exception as e:

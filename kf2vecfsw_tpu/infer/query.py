@@ -25,6 +25,7 @@ from ..models.fsw import fsw_dist_embed_apply
 from ..models.mlp import dist_embed_apply
 from ..ops.pairwise import cdist_exact_blocked, squared_clamped
 from ..train.checkpoint import load_checkpoint
+from ..train.step import bucket_items
 from ..train.distance import f32_row, pad_point_sets
 from ..utils.logging import close_logger, make_run_logger
 from ..utils.timing import hms
@@ -87,7 +88,9 @@ def query_func(
         log.info("\n==> Querying...\n")
         assignments = read_classes_out(os.path.join(classes_dir, "classes.out"))
         present = {
-            os.path.basename(p).split(".kf")[0] for p in feature_files
+            # removesuffix, NOT split('.kf'): a genome named 'x.kf2' would
+            # otherwise truncate to 'x' and be silently dropped from querying
+            os.path.basename(p).removesuffix(".kf") for p in feature_files
         } | {
             _npy_stem(os.path.basename(p)) for p in feature_files
         }
@@ -97,6 +100,11 @@ def query_func(
 
         remap = read_remap(remap_path, log)
         written: list[str] = []
+        # one jitted forward per MODEL FAMILY, hoisted out of the clade loop:
+        # a fresh jit(lambda) per clade would recompile the identical program
+        # for every subtree of the library
+        fwd_fsw = jax.jit(lambda p, x: fsw_dist_embed_apply(p, x))
+        fwd_dense = jax.jit(lambda p, x: dist_embed_apply(p, x))
 
         for c in clades:
             contig_ids = [g for g, cl in assignments if cl == c]
@@ -116,10 +124,10 @@ def query_func(
                 from ..train.checkpoint import fsw_k_from_meta
 
                 k = fsw_k_from_meta(meta)
-                forward = jax.jit(lambda p, x: fsw_dist_embed_apply(p, x))
+                forward = fwd_fsw
                 loader = _npy_block_loader(features_folder, k)
             else:
-                forward = jax.jit(lambda p, x: dist_embed_apply(p, x))
+                forward = fwd_dense
                 loader = _kf_block_loader(features_folder)
 
             dist_path = os.path.join(output_dir, f"apples_input_di_mtrx_subtree_{c}.csv")
@@ -148,8 +156,18 @@ def query_func(
 
                 pending = None
                 for names, x in _prefetch_blocks(_blocks()):
-                    out_dev = forward(params, x)
-                    d_dev = squared_clamped(cdist_exact_blocked(out_dev, emb_dev))
+                    real = x.shape[0]
+                    nb = bucket_items(real)
+                    if nb > real:
+                        # bucket the row count (like classify): otherwise the
+                        # final partial block's distinct shape costs a fresh
+                        # compile per distinct tail size across clades
+                        x = np.concatenate(
+                            [x, np.zeros((nb - real,) + x.shape[1:], x.dtype)]
+                        )
+                    out_full = forward(params, x)
+                    d_dev = squared_clamped(cdist_exact_blocked(out_full, emb_dev))[:real]
+                    out_dev = out_full[:real]
                     labels = [remap.get(n, n) for n in names] if remap else names
                     if pending is not None:
                         _write_out(pending)

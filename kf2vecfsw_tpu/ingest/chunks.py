@@ -22,7 +22,6 @@ Row names match the reference: {sample}.part_{contig}.part_{window_id}.
 
 from __future__ import annotations
 
-import logging
 import math
 import os
 import re
@@ -121,17 +120,13 @@ def get_chunks(
         if not os.path.exists(d):
             raise SystemExit(f"No such directory '{d}'")
 
-    log = logging.getLogger("kf2vec.get_chunks")
-    log.setLevel(logging.INFO)
-    log_path = os.path.join(
+    from ..utils.logging import close_logger, make_run_logger
+
+    # make_run_logger: unique logger name (thread-safe reuse) + propagate
+    # off (a configured root logger would double-print every line)
+    log = make_run_logger(
         output_dir, f"get_chunks_{os.path.basename(os.path.normpath(input_dir))}.log"
     )
-    handler = logging.FileHandler(log_path, "w+")
-    handler.setFormatter(logging.Formatter("%(message)s"))
-    log.addHandler(handler)
-    stream = logging.StreamHandler()
-    stream.setFormatter(logging.Formatter("%(message)s"))
-    log.addHandler(stream)
 
     def stamp(msg: str) -> None:
         hrs, mins, secs = hms(time.time() - since)
@@ -186,7 +181,5 @@ def get_chunks(
                 stamp(f"\n==> Done chunk processing for {fname}.")
         stamp("\n==> Done getting chunks.")
     finally:
-        log.removeHandler(handler)
-        log.removeHandler(stream)
-        handler.close()
+        close_logger(log)
     return written

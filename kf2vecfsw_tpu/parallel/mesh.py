@@ -31,17 +31,46 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def _cluster_detectable() -> bool:
+    """Multi-process launch detectable without explicit JAX env vars: SLURM
+    / OpenMPI task counts > 1, or a multi-worker Cloud TPU pod slice (JAX's
+    cluster plugins auto-fill coordinator/process params in these envs)."""
+    import os
+
+    env = os.environ
+    try:
+        if env.get("SLURM_JOB_ID") and int(env.get("SLURM_NTASKS") or 1) > 1:
+            return True
+        if int(env.get("OMPI_COMM_WORLD_SIZE") or 1) > 1:
+            return True
+    except ValueError:
+        pass
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    if (env.get("TPU_WORKER_HOSTNAMES") or "").count(",") >= 1:
+        return True
+    return False
+
+
 def initialize_distributed() -> bool:
     """Multi-host bring-up: when the standard JAX cluster env vars are set
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
-    supported cluster environment), initialize the distributed runtime so
-    jax.devices() spans all hosts and the same mesh code runs across DCN.
-    Returns True if initialization happened."""
+    (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS), or a multi-process
+    cluster launch is auto-detectable (SLURM/MPI/TPU-pod — environments
+    where JAX's cluster plugins fill in the coordinator), initialize the
+    distributed runtime so jax.devices() spans all hosts and the same mesh
+    code runs across DCN. Without this, each host would silently train an
+    independent copy on its local chips. Returns True if initialization
+    happened."""
     import os
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     ):
+        jax.distributed.initialize()
+        return True
+    if _cluster_detectable():
+        # plugin auto-detection: let a failure surface loudly rather than
+        # proceed as N independent single-host jobs racing the output dir
         jax.distributed.initialize()
         return True
     return False
@@ -84,9 +113,18 @@ def process_row_slice(n_rows: int, mesh: Mesh, axis: str = DATA_AXIS) -> slice:
     n_proc = jax.process_count()
     if n_proc == 1:
         return slice(0, n_rows)
-    per = n_rows // n_proc
+    per, rem = divmod(n_rows, n_proc)
+    if rem:
+        # a remainder-to-last split would MISMATCH JAX's ceil-based shard
+        # layout and corrupt make_array_from_process_local_data placement;
+        # every current caller pads to a device multiple first — fail loudly
+        # rather than hand back wrong rows
+        raise ValueError(
+            f"process_row_slice: {n_rows} rows not divisible by "
+            f"{n_proc} processes — pad the leading axis first"
+        )
     p = jax.process_index()
-    return slice(p * per, (p + 1) * per if p < n_proc - 1 else n_rows)
+    return slice(p * per, (p + 1) * per)
 
 
 def shard_params(params, specs, mesh: Mesh):

@@ -71,6 +71,23 @@ def fsw_k_from_meta(meta: dict) -> int:
     return int(meta.get("fsw_k", meta["model_input_size"] - 1))
 
 
+def load_checkpoint_meta(path: str):
+    """Returns (model_name, meta dict) WITHOUT materializing the parameter
+    arrays — np.load is lazy, so only the '__meta__' JSON entry is read.
+    Use for model-type dispatch over many/large checkpoints (e.g. the
+    process_query_data wrapper probing every subtree model). Falls back to
+    a full load for reference torch checkpoints."""
+    try:
+        with open(path, "rb") as f:
+            data = np.load(f, allow_pickle=False)
+            meta = json.loads(str(data["__meta__"]))
+        meta = dict(meta)
+        return meta.pop("model_name"), meta
+    except Exception:
+        name, meta, _ = load_checkpoint(path)
+        return name, meta
+
+
 def load_checkpoint(path: str):
     """Returns (model_name, meta dict, params pytree). Transparently converts
     reference torch checkpoints when encountered."""

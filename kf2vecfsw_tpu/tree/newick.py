@@ -47,6 +47,18 @@ def _fmt_len(x: float) -> str:
     return s
 
 
+_NEEDS_QUOTE = set(" \t(),:;[]'")
+
+
+def _quote_label(label: str) -> str:
+    """Re-quote labels that contain newick structural characters or spaces
+    (parse_newick accepts quoted labels; emitting them bare produced
+    unparseable trees). Internal quotes double per the newick convention."""
+    if any(c in _NEEDS_QUOTE for c in label):
+        return "'" + label.replace("'", "''") + "'"
+    return label
+
+
 class Tree:
     def __init__(self, root: Node):
         self.root = root
@@ -128,6 +140,9 @@ class Tree:
         if root is None:
             root = Node()
         # root edge length is conventionally dropped after extraction
+        # (treeswift convention; it sits on no leaf-leaf path)
+        root.edge_length = None
+        root.parent = None
         return Tree(root)
 
     # -- serialization --------------------------------------------------------
@@ -148,7 +163,7 @@ class Tree:
                     continue
                 parts.append(")")
             if node.label is not None:
-                parts.append(node.label)
+                parts.append(_quote_label(node.label))
             if node.edge_length is not None:
                 parts.append(":" + _fmt_len(node.edge_length))
         parts.append(";")
@@ -185,12 +200,19 @@ def parse_newick(text: str) -> Tree:
         if pos < n and s[pos] in "'\"":
             q = s[pos]
             pos += 1
-            start = pos
-            while pos < n and s[pos] != q:
+            chars: list[str] = []
+            while pos < n:
+                if s[pos] == q:
+                    # doubled quote = escaped literal quote (newick convention)
+                    if pos + 1 < n and s[pos + 1] == q:
+                        chars.append(q)
+                        pos += 2
+                        continue
+                    break
+                chars.append(s[pos])
                 pos += 1
-            label = s[start:pos]
             pos += 1
-            return label
+            return "".join(chars)
         start = pos
         while pos < n and s[pos] not in ",():;[":
             pos += 1
