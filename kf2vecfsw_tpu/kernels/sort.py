@@ -34,7 +34,6 @@ are a measure-zero event that also permutes fwd/bwd consistently).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -127,9 +127,13 @@ def mlp_bn_apply(params, state, x, train: bool = False, momentum: float = 0.9, e
             if train:
                 mean = jnp.mean(x, axis=0)
                 var = jnp.var(x, axis=0)
+                # torch BatchNorm1d normalizes with the BIASED batch var but
+                # tracks the UNBIASED (n/(n-1)) var in running stats
+                n_rows = x.shape[0]
+                var_unbiased = var * (n_rows / max(n_rows - 1, 1))
                 new_state[f"bn{i + 1}"] = {
                     "mean": momentum * st["mean"] + (1 - momentum) * mean,
-                    "var": momentum * st["var"] + (1 - momentum) * var,
+                    "var": momentum * st["var"] + (1 - momentum) * var_unbiased,
                 }
             else:
                 mean, var = st["mean"], st["var"]
@@ -203,6 +207,10 @@ def classifier_trans_apply(params, x, n_heads: int = 16):
 
     d = emb.shape[-1]
     nh = n_heads
+    if d % nh:
+        # torch raises at construction; here reshape(-1, nh, hd) would
+        # silently absorb the remainder into the BATCH dim and mix rows
+        raise ValueError(f"embedding size {d} not divisible by n_heads {nh}")
     hd = d // nh
     qkv = emb @ params["attn"]["qkv"]["w"] + params["attn"]["qkv"]["b"]
     q, k_, v = jnp.split(qkv, 3, axis=-1)
@@ -272,20 +280,45 @@ def birnn_apply(params, x):
 # -- init helpers (weight_inits.py:5-24, parameter_inits.py:7-13) ----------------
 
 
-def weight_init_uniform(params, key, low: float = 0.0, high: float = 0.001):
-    """Reinitialize all linear weights ~ U(low, high), biases to 0 (the
-    reference's optional weight_init; application was commented out at
-    train_model_set.py:381)."""
+_LINEAR_KEY = None  # compiled lazily (avoid importing re at module import)
 
-    leaves, treedef = jax.tree.flatten(params)
-    keys = jax.random.split(key, len(leaves))
-    out = []
-    for leaf, k in zip(leaves, keys):
-        if leaf.ndim >= 2:
-            out.append(jax.random.uniform(k, leaf.shape, leaf.dtype, low, high))
-        else:
-            out.append(jnp.zeros_like(leaf))
-    return jax.tree.unflatten(treedef, out)
+
+def weight_init_uniform(params, key, low: float = 0.0, high: float = 0.001):
+    """Reinitialize LINEAR layers only: weights ~ U(low, high), biases 0
+    (the reference's optional weight_init, commented out at
+    train_model_set.py:381, fires via isinstance(m, nn.Linear)). Linear =
+    an {fc*, ffn*, qkv, out}-named {"w","b"} dict with a 2-D weight;
+    BatchNorm scale/bias, LSTM cell and conv tensors stay at their init,
+    matching the torch visitor (an ndim-based sweep previously zeroed BN
+    scales — making every BN layer output its zero bias — and
+    re-randomized recurrent weights torch would leave alone)."""
+    import re
+
+    global _LINEAR_KEY
+    if _LINEAR_KEY is None:
+        _LINEAR_KEY = re.compile(r"^(fc\d*|ffn\d+|qkv|out)$")
+    counter = [0]
+
+    def walk(node, name):
+        if (
+            isinstance(node, dict)
+            and set(node) == {"w", "b"}
+            and _LINEAR_KEY.match(name or "")
+            and node["w"].ndim == 2
+        ):
+            counter[0] += 1
+            k = jax.random.fold_in(key, counter[0])
+            return {
+                "w": jax.random.uniform(k, node["w"].shape, node["w"].dtype, low, high),
+                "b": jnp.zeros_like(node["b"]),
+            }
+        if isinstance(node, dict):
+            return {kk: walk(vv, kk) for kk, vv in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(vv, name) for vv in node)
+        return node
+
+    return walk(params, "")
 
 
 def new_parameter(shape):

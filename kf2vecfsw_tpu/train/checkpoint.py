@@ -47,6 +47,16 @@ def _unflatten(flat: dict):
     return root
 
 
+def atomic_savez(path: str, meta: dict, arrays: dict) -> None:
+    """Atomic npz write shared by checkpoints and trainer autosaves: a crash
+    mid-save must not leave a truncated archive at the final path (the exact
+    scenario autosave/resume exists for)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, model_name: str, meta: dict, params) -> None:
     # multi-process: only the coordinator writes — every process holds the
     # same (replicated) params, and concurrent identical writes through the
@@ -57,13 +67,7 @@ def save_checkpoint(path: str, model_name: str, meta: dict, params) -> None:
         return
     params = jax.device_get(params)
     flat = _flatten(params)
-    full_meta = {"model_name": model_name, **meta}
-    # atomic: a crash mid-save must not leave a truncated .ckpt at the final
-    # path (the exact scenario autosave/resume exists for)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, __meta__=json.dumps(full_meta), **flat)
-    os.replace(tmp, path)
+    atomic_savez(path, {"model_name": model_name, **meta}, flat)
 
 
 def fsw_k_from_meta(meta: dict) -> int:

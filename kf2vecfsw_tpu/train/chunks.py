@@ -786,7 +786,7 @@ def train_model_set_chunks_func(
 
                         save_trainer_state(
                             state_path, end_epoch, params, opt, best[0],
-                            float(best[1]), int(best[2]),
+                            float(best[1]), int(best[2]), mesh=mesh,
                         )
                 # the device comparison decided which params were kept — use
                 # its values for the checkpoint metadata too
@@ -820,7 +820,8 @@ def train_model_set_chunks_func(
                         from .resume import save_trainer_state
 
                         save_trainer_state(
-                            state_path, epoch, params, opt, best_params, lowest, best_epoch
+                            state_path, epoch, params, opt, best_params, lowest,
+                            best_epoch, mesh=mesh,
                         )
 
             log.info(f"Best Epoch [{best_epoch + 1}/{num_epochs}], Lowest loss: {lowest:.20f}")
@@ -1047,6 +1048,7 @@ def train_classifier_chunks_func(
                         state_path, end_epoch, params, opt, best[0],
                         float(best[1]), int(best[2]),
                         extra={"acc_at_best": acc_by_epoch.get(int(best[2]), resumed_acc)},
+                        mesh=mesh,
                     )
             # device comparison decided the kept params; metadata follows it
             best_params, lowest, best_epoch = best[0], float(best[1]), int(best[2])
@@ -1085,7 +1087,7 @@ def train_classifier_chunks_func(
 
                     save_trainer_state(
                         state_path, epoch, params, opt, best_params, lowest,
-                        best_epoch, extra={"acc_at_best": highest_acc},
+                        best_epoch, extra={"acc_at_best": highest_acc}, mesh=mesh,
                     )
 
         log.info(

@@ -264,6 +264,7 @@ def _train(
             save_trainer_state(
                 state_path, end_epoch, params, opt, best[0],
                 float(best[1]), int(best[3]), extra={"highest_acc": float(best[2])},
+                mesh=mesh,
             )
     best_params, lowest_loss, highest_acc, best_epoch = (
         best[0],

@@ -427,7 +427,8 @@ def _train_all(
                 from .resume import save_trainer_state
 
                 save_trainer_state(
-                    state_path, epoch, params, opt, best_params, lowest, best_epoch
+                    state_path, epoch, params, opt, best_params, lowest, best_epoch,
+                    mesh=mesh,
                 )
 
         def maybe_snapshot(epoch, params):

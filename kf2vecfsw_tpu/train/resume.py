@@ -16,7 +16,7 @@ import os
 import jax
 import numpy as np
 
-from .checkpoint import _flatten, _unflatten
+from .checkpoint import _flatten, _unflatten, atomic_savez
 
 
 def save_trainer_state(
@@ -28,11 +28,21 @@ def save_trainer_state(
     lowest: float,
     best_epoch: int,
     extra: dict | None = None,
+    mesh=None,
 ):
     """`extra` carries trainer-specific JSON-serializable scalars (e.g. the
     classifier's accuracy at the best epoch). Multi-process: only the
     coordinator writes (identical concurrent writes through the same
-    path+'.tmp' race on os.replace)."""
+    path+'.tmp' race on os.replace) — but with a `mesh`, the host fetch
+    itself runs on EVERY process first (model-axis-sharded trees span
+    hosts; a bare device_get on the coordinator would crash, and the
+    replicating gather is a collective all processes must join)."""
+    if mesh is not None:
+        from ..parallel.mesh import fetch_replicated
+
+        params, opt, best_params = (
+            fetch_replicated(t, mesh) for t in (params, opt, best_params)
+        )
     if not is_coordinator():
         return
     arrays = {}
@@ -41,10 +51,7 @@ def save_trainer_state(
         for k, v in _flatten(tree).items():
             arrays[f"{tag}::{k}"] = np.asarray(v)
     meta = {"epoch": epoch, "lowest": lowest, "best_epoch": best_epoch, **(extra or {})}
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, __meta__=json.dumps(meta), **arrays)
-    os.replace(tmp, path)
+    atomic_savez(path, meta, arrays)
 
 
 def load_trainer_state(path: str):
@@ -124,8 +131,10 @@ def restore_trainer_state(state_path: str, params, log=None, mesh=None):
     if state is None:
         return None
     last_epoch, s_params, s_opt, s_best, lowest, best_epoch, extra = state
-    want = jax.tree.map(lambda a: np.asarray(a).shape, jax.device_get(params))
-    got = jax.tree.map(lambda a: np.asarray(a).shape, s_params)
+    # .shape is the GLOBAL shape on any jax.Array — no device_get needed
+    # (and device_get would crash on model-axis-sharded multi-host trees)
+    want = jax.tree.map(lambda a: tuple(np.shape(a)), params)
+    got = jax.tree.map(lambda a: tuple(np.shape(a)), s_params)
     if want != got:
         raise SystemExit(
             f"cannot -resume: autosaved state in {state_path} has parameter "

@@ -98,3 +98,22 @@ def test_unused_losses():
     lam = jnp.ones(4)
     v2 = float(lambda_weighted_sqrt_mse(jnp.asarray(md), jnp.asarray(td), lam))
     assert np.isfinite(v2)
+
+
+def test_weight_init_uniform_touches_only_linear_layers():
+    """The reference weight_init fires only on nn.Linear: BatchNorm
+    scale/bias and LSTM cell tensors must keep their init (an ndim-based
+    sweep previously zeroed BN scales, collapsing BN layers to their bias)."""
+    key = jax.random.PRNGKey(7)
+    p, _ = zoo.init_mlp_bn(key, [8, 6, 4, 2])
+    p2 = zoo.weight_init_uniform(p, key)
+    assert np.all(np.asarray(p2["bn1"]["scale"]) == np.asarray(p["bn1"]["scale"]))
+    assert np.all(np.asarray(p2["bn1"]["scale"]) == 1.0)
+    assert float(p2["fc1"]["w"].max()) <= 0.001
+    assert np.all(np.asarray(p2["fc1"]["b"]) == 0)
+
+    pr = zoo.init_birnn(key, 8, 4, 1, 3)
+    pr2 = zoo.weight_init_uniform(pr, key)
+    wi = np.asarray(pr["layers"][0]["fwd"]["wi"]["w"])
+    assert np.array_equal(np.asarray(pr2["layers"][0]["fwd"]["wi"]["w"]), wi)
+    assert float(pr2["fc"]["w"].max()) <= 0.001
