@@ -243,7 +243,6 @@ def _train_all(
 
     # available sample names: from the feature file listing
     if use_fsw:
-        suffix = None  # resolved per clade after reading one file
         avail = {}
         for f in feature_files:
             stem = _strip_npy_suffix(os.path.basename(f))
