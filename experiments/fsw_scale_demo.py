@@ -18,8 +18,9 @@ import time
 import numpy as np
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-N_LEAVES = 64
-GENOME_LEN = 1_000_000
+N_LEAVES = int(os.environ.get("FSW_DEMO_LEAVES", "64"))
+GENOME_LEN = int(os.environ.get("FSW_DEMO_GENOME_LEN", "1000000"))
+VARIANTS = os.environ.get("FSW_DEMO_VARIANTS", "lazy,exact").split(",")
 BASE = os.environ.get("FSW_DEMO_DIR", "/tmp/fsw_scale_demo")
 
 
@@ -125,7 +126,12 @@ def main():
     subtrees = os.path.join(work, "tree.subtrees")
 
     results = {}
-    for tag, extra in (("lazy", "-fsw_lazy_refresh 128"), ("exact", "")):
+    all_variants = {
+        "lazy": "-fsw_lazy_refresh 128",
+        "exact": "",
+        "dense": "-no_fsw",
+    }
+    for tag, extra in ((t, all_variants[t]) for t in VARIANTS):
         mdir = os.path.join(BASE, f"models_{tag}")
         os.makedirs(mdir, exist_ok=True)
         t_cls = sh(
