@@ -208,6 +208,17 @@ def _kf_block_loader(folder: str):
 
 
 def _npy_block_loader(folder: str, k: int):
+    # dense-capable k: N can never exceed the canonical vocab size, so pin
+    # the padded point-set length to V — every subtree's query blocks then
+    # share ONE compiled FSW forward (distinct per-subtree max-N buckets
+    # previously cost a ~30 s remote compile per subtree on compile-bound
+    # rigs); zero-weight padding rows are exact no-ops in the embedding
+    from ..kmer.vocab import canonical_vocab_size
+
+    # k <= 9 (V <= 131,072): vocab-sized padding is cheap; beyond that the
+    # vocab dwarfs realistic fragments and geometric buckets win
+    n_fixed = canonical_vocab_size(k) if 1 <= k <= 9 else None
+
     def load(ids: list[str]):
         mats = []
         for g in ids:
@@ -220,7 +231,7 @@ def _npy_block_loader(folder: str, k: int):
                     f"automatically when the library is FSW)."
                 )
             mats.append(np.load(p).astype(np.float32))
-        return ids, pad_point_sets(mats)
+        return ids, pad_point_sets(mats, n_fixed=n_fixed)
 
     return load
 

@@ -77,14 +77,19 @@ def load_subtree_dist(true_dist_dir: str, clade: int, order: list[str]) -> np.nd
     return reindex_matrix(rl, cl, v, order)
 
 
-def pad_point_sets(mats: list[np.ndarray]) -> np.ndarray:
+def pad_point_sets(mats: list[np.ndarray], n_fixed: int | None = None) -> np.ndarray:
     """Zero-pad variable-length (N_i, k+1) FSW matrices to (n, Nbucket, k+1);
     padded rows carry weight 0 (pad_collate, train_model_set.py:72-90). The
     point-set length pads to a geometric bucket so FSW programs are reused
-    across clades/query blocks instead of recompiling per max-N."""
+    across clades/query blocks instead of recompiling per max-N; n_fixed
+    pins the padded length outright (query pads to the full vocab size at
+    dense-capable k so EVERY subtree's block shares one compiled forward)."""
     from .step import bucket_items
 
-    n_max = bucket_items(max(m.shape[0] for m in mats), floor=128)
+    if n_fixed is not None and n_fixed >= max(m.shape[0] for m in mats):
+        n_max = n_fixed
+    else:
+        n_max = bucket_items(max(m.shape[0] for m in mats), floor=128)
     width = mats[0].shape[1]
     out = np.zeros((len(mats), n_max, width), dtype=np.float32)
     for i, m in enumerate(mats):

@@ -362,3 +362,17 @@ def test_point_sets_to_vocab_weights_duplicates_sum_and_range_check():
     bad_lo[0, 1] = -1.0
     with pytest.raises(ValueError):
         point_sets_to_vocab_weights([bad_lo], k)
+
+
+def test_pad_point_sets_fixed_length():
+    """n_fixed pins the padded point-set length (the query loader pads to
+    the vocab size at k<=9 so all subtree blocks share one compiled
+    forward); ignored when smaller than the longest set."""
+    from kf2vecfsw_tpu.train.distance import pad_point_sets
+
+    mats = [np.ones((5, 4), np.float32), np.ones((9, 4), np.float32)]
+    out = pad_point_sets(mats, n_fixed=32)
+    assert out.shape == (2, 32, 4)
+    assert np.all(out[0, 5:] == 0) and np.all(out[1, 9:] == 0)
+    # too-small n_fixed falls back to the geometric bucket
+    assert pad_point_sets(mats, n_fixed=4).shape[1] >= 9
