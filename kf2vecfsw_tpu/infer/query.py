@@ -231,7 +231,14 @@ def _npy_block_loader(folder: str, k: int):
                     f"automatically when the library is FSW)."
                 )
             mats.append(np.load(p).astype(np.float32))
-        return ids, pad_point_sets(mats, n_fixed=n_fixed)
+        nf = n_fixed
+        # vocab-size padding must not blow HBM for big -block at k=9
+        # (4000 x 131072 x 10 f32 would be ~21 GB); fall back to the
+        # geometric bucket when the padded block would exceed ~2 GB
+        # (a full default block at k=7 is ~1.2 GB and keeps the pin)
+        if nf is not None and bucket_items(len(ids)) * nf * (k + 1) * 4 > (2 << 30):
+            nf = None
+        return ids, pad_point_sets(mats, n_fixed=nf)
 
     return load
 
