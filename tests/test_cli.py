@@ -175,3 +175,68 @@ def test_classifier_rejects_noncontiguous_clade_ids():
     for bad in ([1, 2, 3], [0, 2], [0, -1, 1], []):
         with pytest.raises(ValueError, match="contiguous 0-based"):
             validate_class_labels(np.array(bad, dtype=np.int64))
+
+
+def test_flag_surface_matches_reference_argparse():
+    """Diff our per-subcommand flag sets against the REFERENCE's own
+    argparse (imported with its unavailable deps stubbed): no reference
+    flag may be missing; our only additions are -resume and
+    -fsw_lazy_refresh."""
+    import io
+    import re
+    import sys
+    import types
+    from contextlib import redirect_stdout
+
+    if not os.path.exists("/root/reference/kf2vec/main.py"):
+        pytest.skip("reference tree not available")
+
+    def stub(name, attrs=()):
+        mod = types.ModuleType(name)
+        for a in attrs:
+            setattr(mod, a, lambda *x, **k: None)
+        sys.modules[name] = mod
+        return mod
+
+    saved_modules = dict(sys.modules)
+    saved_path = list(sys.path)
+    try:
+        stub("treeswift", ["read_tree_newick"])
+        sk = stub("sklearn")
+        sk.metrics = stub("sklearn.metrics", ["accuracy_score"])
+        stub("fswlib", ["FSWEmbedding"])
+        sys.path.insert(0, "/root/reference")
+        import kf2vec.main as ref_main
+
+        subs = [
+            "get_frequencies", "get_kmers", "divide_tree", "get_distances",
+            "scale_tree", "train_classifier", "train_model_set", "classify",
+            "query", "build_library", "process_query_data", "get_chunks",
+            "train_classifier_chunks", "train_model_set_chunks",
+        ]
+
+        def flags_of(run, sub):
+            buf = io.StringIO()
+            argv = sys.argv
+            sys.argv = ["kf2vec", sub, "-h"]
+            try:
+                with redirect_stdout(buf):
+                    run()
+            except SystemExit:
+                pass
+            finally:
+                sys.argv = argv
+            return set(re.findall(r"(?<![\w-])-([A-Za-z_]\w*)", buf.getvalue()))
+
+        allowed_extra = {"resume", "fsw_lazy_refresh", "tc_single_cut"}
+        for sub in subs:
+            ref = flags_of(ref_main.main, sub)
+            ours = flags_of(main, sub)
+            missing = ref - ours
+            extra = ours - ref - allowed_extra - {"h"}
+            assert not missing, (sub, sorted(missing))
+            assert not extra, (sub, sorted(extra))
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved_modules)
+        sys.path[:] = saved_path
