@@ -1,4 +1,4 @@
-"""Loss-quality comparison: exact shared FSW vs lazy R=128 over 512 epochs."""
+"""Loss-quality comparison: exact shared FSW vs lazy R=128/R=512 over 512 epochs."""
 import time
 import jax, jax.numpy as jnp, numpy as np
 from kf2vecfsw_tpu.models.fsw import fsw_dist_embed_specs, init_fsw_dist_embed, make_fsw_shared_apply
@@ -38,8 +38,9 @@ def train(runner, tag, n_epochs=512):
     return L
 
 exact = DistanceEpochRunner(mesh, make_fsw_shared_apply(k), specs, n_items, batch)
-lazy = FSWLazyEpochRunner(mesh, k, specs, n_items, batch, refresh_steps=128)
 Le = train(exact, "exact")
-Ll = train(lazy, "lazy-R128")
-rel = np.abs(Ll - Le) / np.maximum(Le, 1e-9)
-print(f"per-epoch |lazy-exact|/exact: median={np.median(rel):.4f} max={rel.max():.4f}", flush=True)
+for R in (128, 512):
+    lazy = FSWLazyEpochRunner(mesh, k, specs, n_items, batch, refresh_steps=R)
+    Ll = train(lazy, f"lazy-R{R}")
+    rel = np.abs(Ll - Le) / np.maximum(Le, 1e-9)
+    print(f"R={R} per-epoch |lazy-exact|/exact: median={np.median(rel):.4f} max={rel.max():.4f}", flush=True)
