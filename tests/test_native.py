@@ -171,3 +171,28 @@ def test_native_format_counts_int64_min(native):
     """-2^63 negation must go through uint64 (signed negation is UB)."""
     out = native.format_counts(np.array([np.iinfo(np.int64).min, 7], dtype=np.int64))
     assert out == "-9223372036854775808.0,7.0\n"
+
+
+def test_native_parse_fasta_fuzz_matches_python(native):
+    """Randomized dirty FASTA (CRLF, lowercase, blank lines, '>' in headers
+    and sequences, trailing garbage, no final newline): the native parser's
+    record count + encoded bytes must agree with the pure-Python fallback."""
+    from kf2vecfsw_tpu.io.fasta import _parse_fasta
+
+    rng = np.random.default_rng(12)
+    pieces = [
+        b">a desc\n", b">b x>y\r\n", b"ACGTacgt\n", b"NNN->..\r\n", b"\n",
+        b"ggTT>cc\n", b"A" * 37 + b"\n", b">c\n", b"tTnN\n",
+    ]
+    for trial in range(50):
+        n = int(rng.integers(2, 12))
+        parts = [b">first\n"] + [pieces[int(rng.integers(len(pieces)))] for _ in range(n)]
+        data = b"".join(parts)
+        if trial % 3 == 0:
+            data = data.rstrip(b"\n")
+        py = _parse_fasta(data)
+        codes, offs = native.parse_fasta_encoded(data)
+        assert len(py) == len(offs) - 1, (trial, data)
+        for i, (_, seq) in enumerate(py):
+            got = codes[offs[i] : offs[i + 1]]
+            assert np.array_equal(got, encode_bases(seq)), (trial, i, data)
