@@ -469,11 +469,21 @@ def bench_serving() -> dict:
 
 
 def main():
+    import sys
+    import traceback
+
     steps_per_s = bench_train_steps()
-    extra = bench_fsw()
-    extra.update(bench_vectorization())
-    extra.update(bench_chunks())
-    extra.update(bench_serving())
+    # secondary sections are fault-tolerant: a transient failure (e.g. a
+    # dropped tunnel mid-section) must not cost the headline metric — the
+    # driver records whatever single JSON line this prints
+    extra = {}
+    for section in (bench_fsw, bench_vectorization, bench_chunks, bench_serving):
+        try:
+            extra.update(section())
+        except Exception:
+            print(f"[bench] {section.__name__} failed:", file=sys.stderr)
+            traceback.print_exc()
+            extra[f"{section.__name__}_error"] = True
     result = {
         "metric": "train_steps_per_s_per_chip",
         "value": round(steps_per_s, 3),
