@@ -424,8 +424,14 @@ def init_fsw_dist_embed(
 
 # transient budget for the batched FSW sort: the sort's fwd+bwd carries ~4
 # (B, C, N) f32 arrays (projections, weights, perm, cotangents); cap their
-# footprint so giant clades (k=9 point sets, N~131072) still fit HBM
-FSW_SORT_BUDGET_BYTES = 2 << 30
+# footprint so giant clades (k=9 point sets, N~131072) still fit HBM.
+# Derived per-device (1/8 of HBM = the 2 GiB this was tuned at on a 16 GiB
+# v5e) so larger parts chunk less; resolved lazily so importing this module
+# never initializes the JAX backend. Tests override via KF2VEC_HBM_BYTES.
+def fsw_sort_budget_bytes() -> int:
+    from ..utils.membudget import hbm_fraction
+
+    return hbm_fraction(1, 8)
 
 
 def _auto_slice_chunk(b: int, n: int, d_out: int) -> int:
@@ -433,7 +439,7 @@ def _auto_slice_chunk(b: int, n: int, d_out: int) -> int:
     # floor of 8 (f32 sublane tile), NOT a fixed 32: with giant per-slice
     # transients (large B x N) a 32-slice floor would exceed the budget by
     # 4x exactly in the regime the budget exists for
-    chunk = max(8, FSW_SORT_BUDGET_BYTES // max(per_slice, 1))
+    chunk = max(8, fsw_sort_budget_bytes() // max(per_slice, 1))
     if chunk >= d_out:
         return 0  # unchunked: one fused sort over all slices
     # power-of-2 bucket so recompiles stay bounded across clades
@@ -450,7 +456,7 @@ def fsw_dist_embed_apply(params, X, model_axis: str | None = None, slice_chunk: 
 
     slice_chunk=None picks the largest chunk (usually: no chunking — one
     fused batched sort) that keeps the sort transients under
-    FSW_SORT_BUDGET_BYTES."""
+    fsw_sort_budget_bytes()."""
     kmers = X[..., :-1].astype(jnp.int32)
     weights = X[..., -1]
     B, N, k = kmers.shape

@@ -56,6 +56,16 @@ from .step import adam_init, adam_update, lr_schedule_args
 F32 = np.float32
 
 
+def _chunk_device_budget() -> int:
+    """Default per-device byte budget for the chunk prefix store: 1/4 of
+    HBM (the 4 GiB this was tuned at on a 16 GiB v5e), derived per part so
+    bigger chips keep more clades device-resident. KF2VEC_CHUNK_DEVICE_BUDGET
+    still overrides at the call sites."""
+    from ..utils.membudget import hbm_fraction
+
+    return hbm_fraction(1, 4)
+
+
 def _check_fullgenome_width(input_dir_fullgenomes: str, names: list[str], input_size: int) -> None:
     """Fail fast when -input_dir_fullgenomes features were built at a
     different k than the chunk features: the mismatch otherwise surfaces as
@@ -225,7 +235,8 @@ class DeviceChunkStore:
 
     @staticmethod
     def fits(matrices: list[np.ndarray], mesh=None) -> bool:
-        budget = int(os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET", 4 << 30))
+        budget_env = os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET")
+        budget = int(budget_env) if budget_env else _chunk_device_budget()
         n_data = mesh.shape[DATA_AXIS] if mesh is not None else 1
         if DeviceChunkStore.nbytes(matrices) > budget * n_data:
             return False
@@ -526,7 +537,8 @@ def load_chunk_store_process_sliced(
 def sharded_store_fits(
     counts_global: np.ndarray, input_size: int, mesh, totals_global=None
 ) -> bool:
-    budget = int(os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET", 4 << 30))
+    budget_env = os.environ.get("KF2VEC_CHUNK_DEVICE_BUDGET")
+    budget = int(budget_env) if budget_env else _chunk_device_budget()
     n_data = mesh.shape[DATA_AXIS]
     cmax = int(np.max(counts_global))
     nbytes = int(counts_global.shape[0]) * (cmax + 1) * input_size * 4

@@ -373,8 +373,8 @@ def _train_all(
             if not use_lazy:
                 log.info(
                     "FSW lazy-refresh requested but the delta plane exceeds "
-                    "FSW_LAZY_BUDGET_BYTES for this clade; using the exact "
-                    "shared path"
+                    "the per-device HBM budget for this clade; using the "
+                    "exact shared path"
                 )
         if use_lazy:
             log.info(

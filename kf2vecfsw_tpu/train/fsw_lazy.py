@@ -21,7 +21,7 @@ device refreshes only its local rows of (delta, gdelta) with no
 collectives; the planes are sharded P(None, 'model', None).
 
 Memory: one f32 (n_bucket, C, V) plane. The trainer gates this path by
-FSW_LAZY_BUDGET_BYTES and falls back to the exact shared runner when the
+fsw_lazy_budget_bytes() and falls back to the exact shared runner when the
 clade exceeds it. Reference semantics: train_model_set.py:96 (same trainer
 surface); this path is a TPU-first acceleration behind -fsw_lazy_refresh.
 """
@@ -48,8 +48,15 @@ from .step import (
     shard_map,
 )
 
-# the f32 (n_bucket, C, V) delta plane must fit under this for the lazy path
-FSW_LAZY_BUDGET_BYTES = 6 << 30
+# the f32 (n_bucket, C, V) delta plane must fit under this for the lazy
+# path. Derived per-device (3/8 of HBM = the 6 GiB this was tuned at on a
+# 16 GiB v5e) so a 95 GiB v5p doesn't gate off k=9 single-chip when the
+# plane actually fits; resolved lazily so importing this module never
+# initializes the backend. Tests override via KF2VEC_HBM_BYTES.
+def fsw_lazy_budget_bytes() -> int:
+    from ..utils.membudget import hbm_fraction
+
+    return hbm_fraction(3, 8)
 
 # items per refresh sort group: the sort network's cost is payload-traffic
 # bound (~45 GB/s measured), so larger groups only amortize the ~20% key
@@ -76,7 +83,7 @@ def lazy_applicable(
     carry, so its peak holds TWO planes."""
     planes = 2 if double_buffered else 1
     d_local = -(-d_out // max(n_model, 1))
-    return planes * 4 * n_bucket * d_local * vocab <= FSW_LAZY_BUDGET_BYTES
+    return planes * 4 * n_bucket * d_local * vocab <= fsw_lazy_budget_bytes()
 
 
 class FSWLazyEpochRunner(DistanceEpochRunner):

@@ -224,10 +224,10 @@ def test_lazy_applicable_gate_is_per_device():
     """The delta plane is sharded P(None, 'model', None): a k=9-regime plane
     (n=32, C=512, V=131072 -> 8.6 GB) exceeds the single-chip budget but a
     4-way model mesh holds 2.2 GB/chip and re-engages the lazy path."""
-    from kf2vecfsw_tpu.train.fsw_lazy import FSW_LAZY_BUDGET_BYTES, lazy_applicable
+    from kf2vecfsw_tpu.train.fsw_lazy import fsw_lazy_budget_bytes, lazy_applicable
 
     n, C, V = 32, 512, 131072
-    assert 4 * n * C * V > FSW_LAZY_BUDGET_BYTES  # sanity: over budget global
+    assert 4 * n * C * V > fsw_lazy_budget_bytes()  # sanity: over budget global
     assert not lazy_applicable(n, C, V)
     assert not lazy_applicable(n, C, V, n_model=1)
     assert lazy_applicable(n, C, V, n_model=4)

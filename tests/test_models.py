@@ -177,13 +177,13 @@ def test_fsw_dist_embed_forward_and_grad():
 def test_fsw_auto_slice_chunk_k9_regime():
     """The k=9 .npy regime (N~131072 points): the auto budget must engage
     chunking (unchunked transients would be 4*16*512*131072*4 = 17 GiB) and
-    pick a power-of-2 chunk whose transients fit FSW_SORT_BUDGET_BYTES."""
+    pick a power-of-2 chunk whose transients fit fsw_sort_budget_bytes()."""
     from kf2vecfsw_tpu.models import fsw as fswmod
 
     chunk = fswmod._auto_slice_chunk(16, 131072, 512)
     assert 0 < chunk < 512 and (chunk & (chunk - 1)) == 0
     per_slice = 4 * 16 * 131072 * 4
-    assert chunk * per_slice <= fswmod.FSW_SORT_BUDGET_BYTES
+    assert chunk * per_slice <= fswmod.fsw_sort_budget_bytes()
     # N=8192 (k=7 regime) stays unchunked — one fused sort
     assert fswmod._auto_slice_chunk(16, 8192, 512) == 0
 
@@ -210,7 +210,7 @@ def test_fsw_budget_forced_chunking_matches_unchunked(monkeypatch):
 
     # budget that allows only 32 slices per chunk (the floor)
     per_slice = 4 * B * N * 4
-    monkeypatch.setattr(fswmod, "FSW_SORT_BUDGET_BYTES", per_slice * 32)
+    monkeypatch.setattr(fswmod, "fsw_sort_budget_bytes", lambda: per_slice * 32)
     auto = fswmod._auto_slice_chunk(B, N, fswout)
     assert auto == 32
     out_c = fswmod.fsw_dist_embed_apply(params, X)  # slice_chunk=None -> auto
