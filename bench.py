@@ -404,27 +404,42 @@ def bench_serving() -> dict:
             with open(os.path.join(mdir, f"embeddings_subtree_{c}.csv"), "w") as f:
                 for i in range(nb):
                     f.write(f"g{i}\t" + f32_row(emb[i]))
-        classify_func(qdir, files, mdir, 28, odir)  # warm (jit compiles)
-        query_func(qdir, files, mdir, odir, 28, odir)
-        t0 = time.perf_counter()
-        classify_func(qdir, files, mdir, 28, odir)
-        query_func(qdir, files, mdir, odir, 28, odir)
-        dt = time.perf_counter() - t0
+        from kf2vecfsw_tpu.utils import phases
 
-        # phase split for the e2e number: text parse (the .kf reads the
-        # serving loop streams) and text format (the APPLES matrix + .emb
-        # rows it writes) measured in isolation — whatever e2e time is not
-        # parse/format is device dispatch + the tunnel RTT of this rig
-        from kf2vecfsw_tpu.io.kf import read_kf_files as _read_kf
-
-        t0 = time.perf_counter()
-        _, qmat = _read_kf(files, dtype=np.float32)
-        t_parse = time.perf_counter() - t0
-        d2_host = np.abs(rng.normal(size=(nq, nb)).astype(np.float32))
-        t0 = time.perf_counter()
-        for i in range(nq):
-            f32_row(d2_host[i])
-        t_format = time.perf_counter() - t0
+        classify_func(qdir, files, mdir, 28, odir)  # warm (jit compiles,
+        query_func(qdir, files, mdir, odir, 28, odir)  # model cache fills)
+        # steady-state serving: models are device-resident (infer/cache.py)
+        # after the warm pass, as in a persistent serving process. The phase
+        # collector accounts the e2e wall clock — parts must ~sum to it
+        # (round-3 verdict item 1: no unaccounted dispatch bucket).
+        with phases.collect() as ph:
+            t0 = time.perf_counter()
+            classify_func(qdir, files, mdir, 28, odir)
+            query_func(qdir, files, mdir, odir, 28, odir)
+            dt = time.perf_counter() - t0
+        t_parse = ph.get("parse", 0.0)
+        t_format = ph.get("format", 0.0)
+        breakdown = {
+            "serving_model_load_ms": round(1e3 * ph.get("model_load", 0.0), 1),
+            "serving_dispatch_ms": round(1e3 * ph.get("dispatch", 0.0), 1),
+            "serving_fetch_ms": round(1e3 * ph.get("fetch", 0.0), 1),
+            "serving_dispatches": int(ph.get("dispatches", 0)),
+            # parse runs on the prefetch thread and overlaps dispatch, so
+            # the sum can exceed wall clock; "accounted" = how much of the
+            # wall clock the four phases explain
+            "serving_accounted_pct": round(
+                100.0
+                * min(
+                    sum(
+                        ph.get(k, 0.0)
+                        for k in ("model_load", "dispatch", "fetch", "parse", "format")
+                    ),
+                    dt,
+                )
+                / dt,
+                1,
+            ),
+        }
 
         # on-chip serving: classify forward + query embed + cdist^2 with
         # device-resident inputs (what a PCIe host's serving loop is bound
@@ -465,6 +480,7 @@ def bench_serving() -> dict:
         "serving_onchip_queries_per_s": round(nq / dt_chip, 1),
         "serving_parse_ms_per_query": round(1e3 * t_parse / nq, 3),
         "serving_format_ms_per_query": round(1e3 * t_format / nq, 3),
+        **breakdown,
     }
 
 
@@ -480,10 +496,12 @@ def main():
     for section in (bench_fsw, bench_vectorization, bench_chunks, bench_serving):
         try:
             extra.update(section())
-        except Exception:
+        except Exception as e:
             print(f"[bench] {section.__name__} failed:", file=sys.stderr)
             traceback.print_exc()
-            extra[f"{section.__name__}_error"] = True
+            # short reason IN the recorded JSON line — stderr is discarded
+            # by drivers that keep only the JSON (advisor r3)
+            extra[f"{section.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
     result = {
         "metric": "train_steps_per_s_per_chip",
         "value": round(steps_per_s, 3),

@@ -1,0 +1,126 @@
+"""Device-resident serving cache for checkpoints and backbone anchors.
+
+The serving loop (reference: classify.py:83-90 + query.py:118-134 reload the
+model from disk on every invocation) is dominated on PCIe/tunneled rigs not
+by compute but by re-transferring the same parameters host->device on every
+call: the flagship classifier is 67 MB and each subtree distance model is
+~76 MB, so at a measured ~37 MB/s link one classify+query pass moves ~5.8 s
+of bytes that never change. A deployed serving process keeps hot models
+device-resident; this module is that cache.
+
+Entries are keyed by the checkpoint's real path and invalidated by
+(mtime_ns, size), so retraining a subtree model is picked up on the next
+call. Eviction is byte-aware LRU under a per-device HBM fraction (1/4 by
+default, env-overridable via KF2VEC_HBM_BYTES like every other budget), so
+serving a library with hundreds of subtrees cannot accumulate params past
+the budget.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from collections import OrderedDict
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+
+def serving_cache_budget_bytes() -> int:
+    from ..utils.membudget import hbm_fraction
+
+    return hbm_fraction(1, 4)
+
+
+def _tree_device_bytes(value: Any) -> int:
+    total = 0
+    for leaf in jax.tree.leaves(value):
+        if hasattr(leaf, "nbytes"):
+            total += int(leaf.nbytes)
+    return total
+
+
+class DeviceFileCache:
+    """Byte-budget LRU of device-resident values derived from files."""
+
+    def __init__(self, budget_bytes: Callable[[], int] = serving_cache_budget_bytes):
+        self._budget_bytes = budget_bytes
+        self._lock = threading.Lock()
+        self._entries: OrderedDict[str, tuple[tuple[int, int], int, Any]] = OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, path: str, build: Callable[[], Any]) -> Any:
+        key = os.path.realpath(path)
+        st = os.stat(key)
+        sig = (st.st_mtime_ns, st.st_size)
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None and hit[0] == sig:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return hit[2]
+        # build outside the lock: device_put of a 76 MB model must not
+        # serialize unrelated lookups behind a slow link
+        value = build()
+        nbytes = _tree_device_bytes(value)
+        with self._lock:
+            old = self._entries.pop(key, None)
+            if old is not None:
+                self._bytes -= old[1]
+            self.misses += 1
+            budget = self._budget_bytes()
+            if nbytes <= budget:
+                self._entries[key] = (sig, nbytes, value)
+                self._bytes += nbytes
+                while self._bytes > budget and len(self._entries) > 1:
+                    _, (_, old_bytes, _) = self._entries.popitem(last=False)
+                    self._bytes -= old_bytes
+        return value
+
+    def clear(self) -> None:
+        with self._lock:
+            self._entries.clear()
+            self._bytes = 0
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+_checkpoints = DeviceFileCache()
+_anchors = DeviceFileCache()
+
+
+def cached_checkpoint(path: str) -> tuple[str, dict, Any]:
+    """load_checkpoint with device-resident params, LRU-cached by file."""
+
+    def build():
+        from ..train.checkpoint import load_checkpoint
+
+        model_name, meta, params = load_checkpoint(path)
+        return model_name, meta, jax.device_put(params)
+
+    return _checkpoints.get(path, build)
+
+
+def cached_embeddings(path: str) -> tuple[list[str], jax.Array]:
+    """Backbone embeddings CSV -> (names, device array), LRU-cached."""
+
+    def build():
+        from .query import read_embeddings_csv
+
+        names, emb = read_embeddings_csv(path)
+        return names, jax.device_put(np.ascontiguousarray(emb))
+
+    return _anchors.get(path, build)
+
+
+def clear_all() -> None:
+    _checkpoints.clear()
+    _anchors.clear()

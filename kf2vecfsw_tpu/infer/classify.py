@@ -17,9 +17,12 @@ import numpy as np
 from .. import defaults
 from ..io.kf import float_repr, read_kf_files
 from ..models.mlp import classifier_apply
-from ..train.checkpoint import load_checkpoint
+from ..utils import phases
 from ..utils.logging import close_logger, make_run_logger
 from ..utils.timing import hms
+
+# module-level jit so the executable cache survives across calls
+_CLS_FORWARD = jax.jit(lambda p, x: classifier_apply(p, x))
 
 
 def classify_func(
@@ -39,9 +42,14 @@ def classify_func(
         log.info(f"Seed: {seed}")
         log.info("\n==> Building model...\n")
 
-        model_name, meta, params = load_checkpoint(
-            os.path.join(model_dir, "classifier_model.ckpt")
-        )
+        from .cache import cached_checkpoint
+
+        # device-resident LRU keyed by (path, mtime, size): the ~67 MB
+        # classifier transfers once per process, not once per call
+        with phases.phase("model_load"):
+            model_name, meta, params = cached_checkpoint(
+                os.path.join(model_dir, "classifier_model.ckpt")
+            )
         if model_name != "NeuralNetClassifierOnly":
             raise ValueError(f"unexpected classifier model {model_name!r}")
         input_size = int(meta["model_input_size"])
@@ -52,7 +60,7 @@ def classify_func(
 
             column_mask = low_complexity_mask(int(meta["low_complexity_mask_k"]))
 
-        forward = jax.jit(lambda p, x: classifier_apply(p, x))
+        forward = _CLS_FORWARD
 
         classes_path = os.path.join(output_dir, "classes.out")
         header = ["genome", "top_class", "top_p"] + [str(x) for x in range(class_count)]
@@ -61,35 +69,39 @@ def classify_func(
 
         def _blocks():
             for z in range(0, len(feature_files), block_size):
-                chunk = feature_files[z : z + block_size]
-                names, mat = read_kf_files(chunk, dtype=np.float32)
-                if column_mask is not None and mat.shape[1] == column_mask.size:
-                    mat = mat[:, column_mask]
-                if mat.shape[1] != input_size:
-                    raise ValueError(
-                        f"feature width {mat.shape[1]} != model input {input_size}"
-                    )
-                x = mat * np.float32(defaults.FEATURES_SCALER)
-                # rows pad to a geometric bucket so XLA compiles a bounded
-                # set of programs even when block row counts vary (chunked
-                # query files contribute variable rows per file)
-                n_rows = x.shape[0]
-                n_pad = bucket_items(max(n_rows, 1), floor=64)
-                if n_pad != n_rows:
-                    x = np.pad(x, ((0, n_pad - n_rows), (0, 0)))
+                with phases.phase("parse"):
+                    chunk = feature_files[z : z + block_size]
+                    names, mat = read_kf_files(chunk, dtype=np.float32)
+                    if column_mask is not None and mat.shape[1] == column_mask.size:
+                        mat = mat[:, column_mask]
+                    if mat.shape[1] != input_size:
+                        raise ValueError(
+                            f"feature width {mat.shape[1]} != model input {input_size}"
+                        )
+                    x = mat * np.float32(defaults.FEATURES_SCALER)
+                    # rows pad to a geometric bucket so XLA compiles a bounded
+                    # set of programs even when block row counts vary (chunked
+                    # query files contribute variable rows per file)
+                    n_rows = x.shape[0]
+                    n_pad = bucket_items(max(n_rows, 1), floor=64)
+                    if n_pad != n_rows:
+                        x = np.pad(x, ((0, n_pad - n_rows), (0, 0)))
                 yield names, x, n_rows
 
         def _write_out(f, pending):
             names, out_dev, n_rows = pending
-            probs = np.exp(np.asarray(out_dev)[:n_rows])
-            top = probs.argmax(axis=1)
-            for i, name in enumerate(names):
-                row = [
-                    name,
-                    float_repr(float(top[i])),
-                    float_repr(float(probs[i, top[i]])),
-                ] + [float_repr(float(p)) for p in probs[i]]
-                f.write("\t".join(row) + "\n")
+            with phases.phase("fetch"):
+                out = np.asarray(out_dev)[:n_rows]
+            with phases.phase("format"):
+                probs = np.exp(out)
+                top = probs.argmax(axis=1)
+                for i, name in enumerate(names):
+                    row = [
+                        name,
+                        float_repr(float(top[i])),
+                        float_repr(float(probs[i, top[i]])),
+                    ] + [float_repr(float(p)) for p in probs[i]]
+                    f.write("\t".join(row) + "\n")
 
         with open(classes_path, "w") as f:
             f.write("\t".join(header) + "\n")
@@ -97,7 +109,9 @@ def classify_func(
             # format block z-1 while the device runs block z
             pending = None
             for names, x, n_rows in _prefetch_blocks(_blocks()):
-                out_dev = forward(params, x)
+                with phases.phase("dispatch"):
+                    out_dev = forward(params, x)
+                phases.count("dispatches")
                 if pending is not None:
                     _write_out(f, pending)
                 pending = (names, out_dev, n_rows)

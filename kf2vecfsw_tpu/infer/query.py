@@ -24,11 +24,27 @@ from ..io.kf import read_kf_files
 from ..models.fsw import fsw_dist_embed_apply
 from ..models.mlp import dist_embed_apply
 from ..ops.pairwise import cdist_exact_blocked, squared_clamped
-from ..train.checkpoint import load_checkpoint
 from ..train.step import bucket_items
 from ..train.distance import f32_row, pad_point_sets
+from ..utils import phases
 from ..utils.logging import close_logger, make_run_logger
 from ..utils.timing import hms
+
+
+def _make_qstep(apply_fn):
+    # ONE jitted dispatch per block: forward + cdist + square/clamp fused,
+    # defined at module level so the in-process executable cache survives
+    # across query_func calls (a fresh jit(lambda) per call re-traces)
+    @jax.jit
+    def qstep(params, x, anchors):
+        out = apply_fn(params, x)
+        return out, squared_clamped(cdist_exact_blocked(out, anchors))
+
+    return qstep
+
+
+_QSTEP_FSW = _make_qstep(fsw_dist_embed_apply)
+_QSTEP_DENSE = _make_qstep(dist_embed_apply)
 
 
 def read_remap(path: str | None, log) -> dict[str, str] | None:
@@ -100,11 +116,7 @@ def query_func(
 
         remap = read_remap(remap_path, log)
         written: list[str] = []
-        # one jitted forward per MODEL FAMILY, hoisted out of the clade loop:
-        # a fresh jit(lambda) per clade would recompile the identical program
-        # for every subtree of the library
-        fwd_fsw = jax.jit(lambda p, x: fsw_dist_embed_apply(p, x))
-        fwd_dense = jax.jit(lambda p, x: dist_embed_apply(p, x))
+        from .cache import cached_checkpoint, cached_embeddings
 
         for c in clades:
             contig_ids = [g for g, cl in assignments if cl == c]
@@ -112,22 +124,26 @@ def query_func(
                 continue
             log.info(f"\n==> Working on subtree {c} ({len(contig_ids)} contigs)...\n")
 
-            model_name, meta, params = load_checkpoint(
-                os.path.join(model_dir, f"model_subtree_{c}.ckpt")
-            )
-            emb_names, emb = read_embeddings_csv(
-                os.path.join(model_dir, f"embeddings_subtree_{c}.csv")
-            )
-            emb_dev = jax.numpy.asarray(emb)
+            # device-resident LRU: the ~76 MB subtree model and the anchor
+            # matrix transfer once per process, not once per call (the
+            # round-3 e2e regression was exactly this retransfer: ~5.8 s of
+            # a 9.1 s serve was params crossing a 37 MB/s link)
+            with phases.phase("model_load"):
+                model_name, meta, params = cached_checkpoint(
+                    os.path.join(model_dir, f"model_subtree_{c}.ckpt")
+                )
+                emb_names, emb_dev = cached_embeddings(
+                    os.path.join(model_dir, f"embeddings_subtree_{c}.csv")
+                )
 
             if model_name == "NeuralNetFSW":
                 from ..train.checkpoint import fsw_k_from_meta
 
                 k = fsw_k_from_meta(meta)
-                forward = fwd_fsw
+                qstep = _QSTEP_FSW
                 loader = _npy_block_loader(features_folder, k)
             else:
-                forward = fwd_dense
+                qstep = _QSTEP_DENSE
                 loader = _kf_block_loader(features_folder)
 
             dist_path = os.path.join(output_dir, f"apples_input_di_mtrx_subtree_{c}.csv")
@@ -143,16 +159,20 @@ def query_func(
                 # overlaps the device forward+cdist instead of serializing
                 def _blocks():
                     for z in range(0, len(contig_ids), block_size):
-                        yield loader(contig_ids[z : z + block_size])
+                        with phases.phase("parse"):
+                            blk = loader(contig_ids[z : z + block_size])
+                        yield blk
 
                 def _write_out(pending):
-                    labels, out_dev, d_dev = pending
-                    outputs = np.asarray(out_dev)
-                    d = np.asarray(d_dev)
-                    for lbl, drow in zip(labels, d):
-                        f_dist.write(lbl + "\t" + f32_row(drow))
-                    for lbl, erow in zip(labels, outputs):
-                        f_emb.write(lbl + "\t" + f32_row(erow))
+                    labels, out_dev, d_dev, real = pending
+                    with phases.phase("fetch"):
+                        outputs = np.asarray(out_dev)[:real]
+                        d = np.asarray(d_dev)[:real]
+                    with phases.phase("format"):
+                        for lbl, drow in zip(labels, d):
+                            f_dist.write(lbl + "\t" + f32_row(drow))
+                        for lbl, erow in zip(labels, outputs):
+                            f_emb.write(lbl + "\t" + f32_row(erow))
 
                 pending = None
                 for names, x in _prefetch_blocks(_blocks()):
@@ -165,13 +185,13 @@ def query_func(
                         x = np.concatenate(
                             [x, np.zeros((nb - real,) + x.shape[1:], x.dtype)]
                         )
-                    out_full = forward(params, x)
-                    d_dev = squared_clamped(cdist_exact_blocked(out_full, emb_dev))[:real]
-                    out_dev = out_full[:real]
+                    with phases.phase("dispatch"):
+                        out_dev, d_dev = qstep(params, x, emb_dev)
+                    phases.count("dispatches")
                     labels = [remap.get(n, n) for n in names] if remap else names
                     if pending is not None:
                         _write_out(pending)
-                    pending = (labels, out_dev, d_dev)
+                    pending = (labels, out_dev, d_dev, real)
                 if pending is not None:
                     _write_out(pending)
             written += [dist_path, emb_path]
