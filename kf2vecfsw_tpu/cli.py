@@ -355,10 +355,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-no_fsw", action="store_true", help="Keep original model")
     p.add_argument("-fswout_dim", type=int, default=D.FSW_OUT_DIM)
     p.add_argument("-base_dim", type=int, default=D.FSW_BASE_DIM)
-    p.add_argument("-fsw_lazy_refresh", type=int, default=0,
+    p.add_argument("-fsw_lazy_refresh", type=int, default=None,
                    help="FSW acceleration (extension): re-sort the FSW "
                         "projections every N steps instead of every step "
-                        "(shared-vocab clades only). 0 = exact per-step sort")
+                        "(shared-vocab clades only). Default: auto — engage "
+                        f"at N={D.FSW_LAZY_AUTO_REFRESH} when the clade fits "
+                        "the per-device plane budget. 0 = exact per-step sort")
     _add_resume(p)
     p.set_defaults(func=_cmd_train_model_set)
 

@@ -32,3 +32,10 @@ FEATURES_SCALER = 1e4  # train_*_model*.py `features_scaler`
 # FSW model defaults (main.py:1208-1210)
 FSW_OUT_DIM = 512
 FSW_BASE_DIM = 4
+
+# auto-engaged lazy sort-refresh cadence (extension; no reference analogue):
+# quality is pinned at R=128 (<=0.3% median best-loss deviation vs exact,
+# refresh=1 == exact by test) and 64 is 2x fresher while still >=100 steps/s
+# at the flagship config (step = 2.4 ms contraction + ~440/R ms refresh).
+# -fsw_lazy_refresh 0 forces the exact per-step sort.
+FSW_LAZY_AUTO_REFRESH = 64

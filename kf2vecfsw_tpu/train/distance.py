@@ -182,7 +182,7 @@ def train_model_set_func(
     log_every: int = 1,
     resume: bool = False,
     autosave_every: int = 500,
-    fsw_lazy_refresh: int = 0,
+    fsw_lazy_refresh: int | None = None,
 ) -> list[str]:
     since = time.time()
     clade_tag = (
@@ -208,7 +208,7 @@ def _train_all(
     num_epochs, hidden_size, embedding_size, batch_size, lr0, lr_min, lr_decay,
     clades_to_train, seed, model_filepath, test_ids_path, save_interval,
     use_fsw, base_dim, fswout_dim, mesh, log_every, resume, autosave_every,
-    fsw_lazy_refresh=0,
+    fsw_lazy_refresh=None,
 ):
     from ..ingest.tree_ops import read_subtrees
 
@@ -359,30 +359,46 @@ def _train_all(
 
         feats_dev = stage_replicated(train_feats, mesh)
         dist_dev = stage_replicated(dist, mesh)
+        # lazy sort-refresh: AUTO by default (r3 verdict item 4 — quality is
+        # pinned: refresh=1 == exact by test, <=0.3% median best-loss
+        # deviation at R=128, demo placement parity). Explicit 0 forces the
+        # exact per-step sort; explicit N > 0 sets the cadence.
+        lazy_auto = fsw_lazy_refresh is None
+        lazy_refresh = (
+            defaults.FSW_LAZY_AUTO_REFRESH if lazy_auto else fsw_lazy_refresh
+        )
         use_lazy = False
-        if use_fsw and fsw_shared and fsw_lazy_refresh > 0:
+        if use_fsw and fsw_shared and lazy_refresh > 0:
             from .fsw_lazy import FSWLazyEpochRunner, lazy_applicable
             from .step import bucket_items
 
             nb = bucket_items(max(len(train_idx), 1))
             use_lazy = lazy_applicable(
                 nb, fswout_dim, train_feats.shape[1],
-                double_buffered=fsw_lazy_refresh < -(-nb // batch_size),
+                double_buffered=lazy_refresh < -(-nb // batch_size),
                 n_model=int(mesh.shape[MODEL_AXIS]),
             )
             if not use_lazy:
                 log.info(
-                    "FSW lazy-refresh requested but the delta plane exceeds "
-                    "the per-device HBM budget for this clade; using the "
-                    "exact shared path"
+                    "FSW lazy-refresh "
+                    + ("auto-check: " if lazy_auto else "requested but ")
+                    + "the delta plane exceeds the per-device HBM budget "
+                    "for this clade; using the exact shared path"
                 )
         if use_lazy:
             log.info(
-                f"FSW lazy sort-refresh path: refresh every {fsw_lazy_refresh} steps"
+                f"FSW lazy sort-refresh path: refresh every {lazy_refresh} "
+                f"steps"
+                + (
+                    " (auto-enabled; pass -fsw_lazy_refresh 0 for the exact "
+                    "per-step sort)"
+                    if lazy_auto
+                    else ""
+                )
             )
             runner = FSWLazyEpochRunner(
                 mesh, input_size - 1, specs, len(train_idx), batch_size,
-                refresh_steps=fsw_lazy_refresh, donate=True,
+                refresh_steps=lazy_refresh, donate=True,
             )
         else:
             runner = DistanceEpochRunner(

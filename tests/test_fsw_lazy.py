@@ -271,3 +271,99 @@ def test_lazy_run_epoch_keeps_refresh_cadence():
     assert np.allclose(losses, losses_span, rtol=1e-4, atol=1e-6), (
         losses, losses_span,
     )
+
+
+def _mini_fsw_library(tmp_path, rng):
+    """Shared fixture for the auto-enable tests: full-vocab FSW point sets
+    for 6 genomes, one clade, a true-distance matrix."""
+    import os
+
+    from kf2vecfsw_tpu.kmer.vocab import (
+        FSW_BASE_MAP,
+        canonical_vocab_codes,
+        codes_to_digit_matrix,
+    )
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    n = 6
+    names = [f"g{i}" for i in range(n)]
+    feat_dir = tmp_path / "feats"
+    out_dir = tmp_path / "models"
+    dist_dir = tmp_path / "dist"
+    for d in (feat_dir, out_dir, dist_dir):
+        os.makedirs(d)
+    codes = canonical_vocab_codes(K)
+    digits = codes_to_digit_matrix(codes, K, FSW_BASE_MAP).astype(np.float32)
+    files = []
+    for nm in names:
+        freqs = rng.random((digits.shape[0], 1)).astype(np.float32)
+        np.save(str(feat_dir / f"{nm}.npy"), np.concatenate([digits, freqs], axis=1))
+        files.append(str(feat_dir / f"{nm}.npy"))
+    with open(tmp_path / "subtrees.csv", "w") as f:
+        for nm in names:
+            f.write(f"{nm}\t0\n")
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0.0)
+    write_di_mtrx(str(dist_dir / "true_distance_matrix_subtree_0.di_mtrx"), names, d)
+    return feat_dir, out_dir, dist_dir, files
+
+
+def _run_trainer(tmp_path, files, feat_dir, out_dir, dist_dir, **kw):
+    from kf2vecfsw_tpu.train.distance import train_model_set_func
+
+    return train_model_set_func(
+        str(feat_dir), files, str(tmp_path / "subtrees.csv"), str(dist_dir),
+        num_epochs=2, hidden_size=16, embedding_size=8, batch_size=4,
+        lr0=1e-3, lr_min=1e-4, lr_decay=2000.0, clades_to_train=None, seed=1,
+        model_filepath=str(out_dir), base_dim=BASE_DIM, fswout_dim=FSWOUT,
+        **kw,
+    )
+
+
+def _trainer_log(out_dir):
+    import glob
+    import os
+
+    logs = sorted(glob.glob(os.path.join(str(out_dir), "train_model_*.log")))
+    assert logs
+    return "".join(open(p).read() for p in logs)
+
+
+def test_lazy_auto_enables_at_default_flags(tmp_path):
+    """A user typing the reference's own flags (no -fsw_lazy_refresh) gets
+    the lazy path at the auto cadence when the plane fits (verdict r3 #4)."""
+    rng = np.random.default_rng(2)
+    feat_dir, out_dir, dist_dir, files = _mini_fsw_library(tmp_path, rng)
+    saved = _run_trainer(tmp_path, files, feat_dir, out_dir, dist_dir)
+    assert saved
+    log = _trainer_log(out_dir)
+    assert "FSW lazy sort-refresh path" in log
+    assert "auto-enabled" in log
+
+
+def test_lazy_explicit_zero_forces_exact(tmp_path):
+    rng = np.random.default_rng(2)
+    feat_dir, out_dir, dist_dir, files = _mini_fsw_library(tmp_path, rng)
+    saved = _run_trainer(
+        tmp_path, files, feat_dir, out_dir, dist_dir, fsw_lazy_refresh=0
+    )
+    assert saved
+    log = _trainer_log(out_dir)
+    assert "FSW lazy sort-refresh path" not in log
+
+
+def test_lazy_auto_falls_back_when_over_budget(tmp_path, monkeypatch):
+    """Auto must silently use the exact path when the plane exceeds the
+    per-device budget (tiny fake HBM via KF2VEC_HBM_BYTES)."""
+    rng = np.random.default_rng(2)
+    feat_dir, out_dir, dist_dir, files = _mini_fsw_library(tmp_path, rng)
+    monkeypatch.setenv("KF2VEC_HBM_BYTES", "1024")
+    try:
+        saved = _run_trainer(tmp_path, files, feat_dir, out_dir, dist_dir)
+    finally:
+        monkeypatch.delenv("KF2VEC_HBM_BYTES")
+    assert saved
+    log = _trainer_log(out_dir)
+    assert "FSW lazy sort-refresh path" not in log
+    assert "auto-check" in log
