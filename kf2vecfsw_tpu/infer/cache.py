@@ -121,6 +121,34 @@ def cached_embeddings(path: str) -> tuple[list[str], jax.Array]:
     return _anchors.get(path, build)
 
 
+def _kf_cache_budget() -> int:
+    return int(os.environ.get("KF2VEC_KF_CACHE_BYTES", 512 << 20))
+
+
+_kf_rows = DeviceFileCache(budget_bytes=_kf_cache_budget)
+
+
+def read_kf_files_cached(paths: list[str], dtype=np.float32):
+    """read_kf_files with a host-RAM LRU of parsed rows (512 MB default,
+    KF2VEC_KF_CACHE_BYTES to override). The serving pipeline parses the same
+    query `.kf` files twice per pass (classify, then query) — parsed f32
+    rows are ~6x smaller than their text and the second pass becomes a
+    stat+vstack."""
+    from ..io.kf import read_kf
+
+    all_names: list[str] = []
+    mats: list[np.ndarray] = []
+    for p in paths:
+        names, mat = _kf_rows.get(p, lambda p=p: read_kf(p, dtype=np.float32))
+        all_names.extend(names)
+        if mat.size:
+            mats.append(mat)
+    if not mats:
+        return all_names, np.zeros((0, 0), dtype=dtype)
+    return all_names, np.vstack(mats).astype(dtype, copy=False)
+
+
 def clear_all() -> None:
     _checkpoints.clear()
     _anchors.clear()
+    _kf_rows.clear()

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from .. import defaults
-from ..io.kf import float_repr, read_kf_files
+from ..io.kf import float_repr
 from ..models.mlp import classifier_apply
 from ..utils import phases
 from ..utils.logging import close_logger, make_run_logger
@@ -70,8 +70,10 @@ def classify_func(
         def _blocks():
             for z in range(0, len(feature_files), block_size):
                 with phases.phase("parse"):
+                    from .cache import read_kf_files_cached
+
                     chunk = feature_files[z : z + block_size]
-                    names, mat = read_kf_files(chunk, dtype=np.float32)
+                    names, mat = read_kf_files_cached(chunk, dtype=np.float32)
                     if column_mask is not None and mat.shape[1] == column_mask.size:
                         mat = mat[:, column_mask]
                     if mat.shape[1] != input_size:

@@ -20,7 +20,6 @@ import jax
 import numpy as np
 
 from .. import defaults
-from ..io.kf import read_kf_files
 from ..models.fsw import fsw_dist_embed_apply
 from ..models.mlp import dist_embed_apply
 from ..ops.pairwise import cdist_exact_blocked, squared_clamped
@@ -220,8 +219,11 @@ def _prefetch_blocks(blocks_iter, depth: int = 2):
 
 def _kf_block_loader(folder: str):
     def load(ids: list[str]):
+        from .cache import read_kf_files_cached
+
         paths = [os.path.join(folder, f"{g}.kf") for g in ids]
-        names, mat = read_kf_files(paths, dtype=np.float32)
+        # host parse LRU: classify already parsed these same files this pass
+        names, mat = read_kf_files_cached(paths, dtype=np.float32)
         return names, mat * np.float32(defaults.FEATURES_SCALER)
 
     return load

@@ -151,3 +151,28 @@ def test_phase_collector_thread_safety_and_counts():
         pass
     phases.count("q")
     assert "q" not in ph
+
+
+def test_read_kf_files_cached_matches_and_invalidates(tmp_path):
+    from kf2vecfsw_tpu.infer.cache import read_kf_files_cached
+    from kf2vecfsw_tpu.io.kf import read_kf_files, write_kf
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"q{i}.kf")
+        write_kf(p, [(f"q{i}", rng.random(16))])
+        paths.append(p)
+    names_ref, mat_ref = read_kf_files(paths, dtype=np.float32)
+    names1, mat1 = read_kf_files_cached(paths, dtype=np.float32)
+    assert names1 == names_ref
+    np.testing.assert_array_equal(mat1, mat_ref)
+    # warm pass: identical
+    names2, mat2 = read_kf_files_cached(paths, dtype=np.float32)
+    assert names2 == names_ref
+    np.testing.assert_array_equal(mat2, mat_ref)
+    # rewrite one file -> picked up
+    time.sleep(0.01)
+    write_kf(paths[2], [("q2", np.ones(16))])
+    _, mat3 = read_kf_files_cached(paths, dtype=np.float32)
+    assert np.allclose(mat3[2], 1.0)
