@@ -533,6 +533,45 @@ def _probe_link_once(seed: int) -> float:
     return (buf.nbytes / 1e6) / max(dt, 1e-9)
 
 
+def _probe_link_subprocess(threshold: float, deadline_s: float):
+    """Run the best-of-3 link probe in a child interpreter so a wedged
+    device can be abandoned cleanly (kill by exact PID via subprocess
+    timeout). Returns (mbps, n_probes) or None on timeout/failure."""
+    import subprocess
+    import sys
+
+    script = (
+        "import numpy as np, time\n"
+        "import jax\n"
+        "def probe(seed):\n"
+        "    buf = np.random.default_rng(seed).integers(0, 256, size=4 << 20).astype(np.uint8)\n"
+        "    np.asarray(jax.device_put(buf[: 1 << 16])[:8])\n"
+        "    t0 = time.perf_counter()\n"
+        "    dev = jax.device_put(buf)\n"
+        "    np.asarray(dev[:8])\n"
+        "    return (buf.nbytes / 1e6) / max(time.perf_counter() - t0, 1e-9)\n"
+        f"threshold = {threshold!r}\n"
+        "best = probe(0x5EED)\n"
+        "n = 1\n"
+        "while best < threshold and n < 3:\n"
+        "    best = max(best, probe(0x5EED + n))\n"
+        "    n += 1\n"
+        "print(f'KF2VEC_LINK {best} {n}')\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=deadline_s,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("KF2VEC_LINK "):
+                _, mbps, n = line.split()
+                return float(mbps), int(n)
+        return None
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+
+
 def link_bandwidth_mbps(threshold: float = 100.0) -> float:
     """Measured host->device transfer bandwidth (MB/s), probed once per
     process with a ~4 MB incompressible buffer. The counting kernel needs
@@ -552,11 +591,23 @@ def link_bandwidth_mbps(threshold: float = 100.0) -> float:
             _LINK_MBPS = float(env)
             log.info(f"host->device link: {_LINK_MBPS:.0f} MB/s (KF2VEC_LINK_MBPS override)")
             return _LINK_MBPS
-        best = _probe_link_once(0x5EED)
-        probes = 1
-        while best < threshold and probes < 3:  # re-probe before demoting
-            best = max(best, _probe_link_once(0x5EED + probes))
-            probes += 1
+        # watchdog: the probe is the auto backend's FIRST device touch, and
+        # a wedged tunnel/device blocks device_put forever — which turned a
+        # pure-host get_frequencies run into an indefinite hang. Probe in a
+        # CHILD process with a deadline (a thread abandoned mid-device_put
+        # aborts interpreter teardown); on timeout kill the child and demote
+        # to the host path (0 MB/s) instead of hanging a pipeline that never
+        # needed the chip.
+        deadline_s = float(os.environ.get("KF2VEC_LINK_PROBE_TIMEOUT_S", "45"))
+        probed = _probe_link_subprocess(threshold, deadline_s)
+        if probed is None:
+            log.warning(
+                f"host->device link probe did not answer within {deadline_s:.0f} s "
+                "(device unreachable?) — demoting auto counting to the host path"
+            )
+            _LINK_MBPS = 0.0
+            return _LINK_MBPS
+        best, probes = probed
         _LINK_MBPS = best
         verdict = (
             "device counting viable"
