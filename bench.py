@@ -291,13 +291,15 @@ def bench_vectorization() -> dict:
     pd5, iv5 = jax.device_put(packed5), jax.device_put(inv5)
     np.asarray(pd5[:8])
     for kk in (9, 11, 13):
-        vocab_dev = H._vocab_dev(kk)
-        np.asarray(H._count_kfree_jit(pd5, iv5, vocab_dev, kk)[:4])  # warm
+        # same fold the auto path picks for this (L, V): vocab fold at k=9,
+        # rank fold from k=11 (4V >= L crossover)
+        fold, table = H._kfree_fold(kk, codes.size)
+        np.asarray(H._count_kfree_jit(pd5, iv5, table, kk, fold)[:4])  # warm
         dts = float("inf")
         reps = 4
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [H._count_kfree_jit(pd5, iv5, vocab_dev, kk) for _ in range(reps)]
+            outs = [H._count_kfree_jit(pd5, iv5, table, kk, fold) for _ in range(reps)]
             for o in outs:
                 np.asarray(o[:4])
             dts = min(dts, (time.perf_counter() - t0) / reps)

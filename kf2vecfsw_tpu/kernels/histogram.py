@@ -269,15 +269,22 @@ def finalize_device_counts_batch(accs: list[jax.Array], k: int) -> list[np.ndarr
 #
 # The MXU one-hot histogram above does O(4^k / (h_tile*128)) MACs per window:
 # unbeatable at k=7 but quadrupling per +1 k (round-2 verdict weak #2). This
-# path scatter-adds the canonical window codes straight into a dense
-# (4^k + 1)-bin histogram (sentinel bin swallows invalid windows) and gathers
-# the canonical-vocab entries — O(L) HBM random access REGARDLESS of k.
-# Measured on v5e for 5M windows: 58 ms (k=9) / 75 ms (k=11) / 76 ms (k=13),
-# vs 131 ms for the round-3 sort + vocab-boundary-searchsorted variant at
-# k=11 and 346 ms for its scan_unrolled searchsorted — flat in k, like
-# Jellyfish (main.py:309-319). Counts come back vocab-aligned (V,), halving
-# the fetch vs the dense 4^k histogram.
+# path is O(L) HBM random access REGARDLESS of k — flat in k, like Jellyfish
+# (main.py:309-319). Two vocab-order folds, chosen per dispatch by the
+# STATIC shapes (L windows, V vocab):
+#   vocab fold (r3): scatter codes into a dense (4^k + 1)-bin histogram,
+#     gather the V vocab entries out — L scatters + V gathers. Wins while
+#     V << L (k <= 9: V = 131k vs L = 5M for a 5 Mb genome; 75 MB/s on v5e).
+#   rank fold (r4): rank[c] = #(canonical codes <= c), built ON DEVICE from
+#     an elementwise revcomp + one cumsum (no host transfer, cached per
+#     process); each window does one rank gather + one scatter-add into the
+#     (V + 1,)-bin vocab-ordered histogram — L gathers + L scatters,
+#     INDEPENDENT of V. At k=13 (V = 33.6M = 6.7 L) this beat the r3 fold
+#     5.9x (35.6 vs 6.1 MB/s) and the host core 5.2x; measured crossover on
+#     v5e is ~4V >= L (k=11/5 Mb: rank 51.2, vocab 49.4 MB/s).
+# Counts come back vocab-aligned (V,), halving the fetch vs dense 4^k.
 
+_RANK_DEV_CACHE: dict[int, jax.Array] = {}
 _VOCAB_DEV_CACHE: dict[int, jax.Array] = {}
 
 
@@ -292,32 +299,80 @@ def _vocab_dev(k: int) -> jax.Array:
     return _VOCAB_DEV_CACHE[k]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _count_kfree_jit(packed: jax.Array, inv_bits: jax.Array, vocab: jax.Array, k: int) -> jax.Array:
+def _kfree_fold(k: int, n_bases: int) -> tuple[bool, jax.Array]:
+    """(rank_fold?, matching device table) for an L-window dispatch."""
+    from ..kmer.vocab import canonical_vocab_size
+
+    rank_fold = 4 * canonical_vocab_size(k) >= n_bases
+    return rank_fold, (_rank_dev(k) if rank_fold else _vocab_dev(k))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _rank_table_jit(k: int) -> jax.Array:
+    """(4^k + 1,) int32: code -> rank among ascending canonical codes for
+    canonical codes, V for non-canonical codes and for the invalid sentinel
+    4^k. Matches kmer/vocab.py canonical_vocab_codes exactly:
+    rank_table[vocab[i]] == i (pinned by test)."""
+    from ..kmer.vocab import canonical_vocab_size
+
+    c = jnp.arange(4**k, dtype=jnp.int32)
+    # revcomp: complement each 2-bit digit and reverse digit order (same
+    # convention as window_codes_xla: digit 0 is the most significant)
+    rc = jnp.zeros_like(c)
+    t = c
+    for _ in range(k):
+        rc = (rc << 2) | (3 - (t & 3))
+        t = t >> 2
+    canon = (c <= rc).astype(jnp.int32)
+    rank = jnp.cumsum(canon) - canon  # exclusive prefix count
+    v = int(canonical_vocab_size(k))
+    table = jnp.where(canon.astype(jnp.bool_), rank, v)
+    return jnp.concatenate([table, jnp.full((1,), v, jnp.int32)])
+
+
+def _rank_dev(k: int) -> jax.Array:
+    if k not in _RANK_DEV_CACHE:
+        _RANK_DEV_CACHE[k] = _rank_table_jit(k)
+    return _RANK_DEV_CACHE[k]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _count_kfree_jit(
+    packed: jax.Array, inv_bits: jax.Array, table: jax.Array, k: int,
+    rank_fold: bool = True,
+) -> jax.Array:
+    from ..kmer.vocab import canonical_vocab_size
+
+    v = int(canonical_vocab_size(k))
     bases = unpack_2bit_xla(packed, inv_bits)
     codes = window_codes_xla(bases, k, 4**k)  # invalid windows -> 4^k
+    if rank_fold:
+        ranks = table[codes]  # (L,) in [0, V]; invalid/sentinel -> V
+        return jnp.zeros((v + 1,), jnp.int32).at[ranks].add(1)[:-1]
     dense = jnp.zeros((4**k + 1,), jnp.int32).at[codes].add(1)
-    return dense[vocab]  # (V,) counts in vocab order
+    return dense[table]  # (V,) counts in vocab order
 
 
 def count_canonical_device_kfree_async(codes_u8: np.ndarray, k: int) -> jax.Array:
     """k-free analogue of count_canonical_device_async: returns the
     on-device (V,) vocab-aligned counts without syncing. Chunked with k-1
     overlap exactly like the MXU path; per-chunk counts add."""
-    vocab = _vocab_dev(k)
+    from ..kmer.vocab import canonical_vocab_size
+
     if codes_u8.size == 0:
-        return jnp.zeros((int(vocab.shape[0]),), jnp.int32)
+        return jnp.zeros((int(canonical_vocab_size(k)),), jnp.int32)
     acc: jax.Array | None = None
     step = MAX_WINDOWS_PER_CALL
     overlap = k - 1
     pos = 0
     n = codes_u8.size
+    rank_fold, table = _kfree_fold(k, min(n, step))
     while pos < n:
         chunk = _pad_to_quantum(np.asarray(codes_u8[pos : pos + step], dtype=np.uint8))
         packed, inv_bits, _ = pack_2bit(chunk)
         packed_dev = jax.device_put(packed)
         inv_dev = jax.device_put(inv_bits)
-        part = _count_kfree_jit(packed_dev, inv_dev, vocab, k)
+        part = _count_kfree_jit(packed_dev, inv_dev, table, k, rank_fold)
         acc = part if acc is None else _accum_i32(acc, part)
         if pos + step >= n:
             break
@@ -345,13 +400,24 @@ def finalize_device_counts_kfree(acc: jax.Array, k: int) -> np.ndarray:
 MAX_KFREE_BATCH_BYTES = 2 << 30
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _count_kfree_batch_jit(packed: jax.Array, inv_bits: jax.Array, vocab: jax.Array, k: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _count_kfree_batch_jit(
+    packed: jax.Array, inv_bits: jax.Array, table: jax.Array, k: int,
+    rank_fold: bool = True,
+) -> jax.Array:
     """(G, L//4) packed + (G, L//8) invalid bits -> (G, V) vocab counts."""
+    from ..kmer.vocab import canonical_vocab_size
+
+    v = int(canonical_vocab_size(k))
     bases = jax.vmap(unpack_2bit_xla)(packed, inv_bits)
     codes = jax.vmap(lambda b: window_codes_xla(b, k, 4**k))(bases)
+    if rank_fold:
+        ranks = table[codes]
+        return jax.vmap(
+            lambda r: jnp.zeros((v + 1,), jnp.int32).at[r].add(1)[:-1]
+        )(ranks)
     dense = jax.vmap(lambda c: jnp.zeros((4**k + 1,), jnp.int32).at[c].add(1))(codes)
-    return jnp.take(dense, vocab, axis=1)
+    return jnp.take(dense, table, axis=1)
 
 
 def _pack_genome_batch(codes_list: list[np.ndarray]):
@@ -392,8 +458,11 @@ def _readback_async(acc: jax.Array) -> jax.Array:
 def count_canonical_device_kfree_batch_async(codes_list: list[np.ndarray], k: int) -> jax.Array:
     """One dispatch for G genomes through the k-free path (same length
     bucketing as the MXU batch path). Returns on-device (G, V) counts."""
-    vocab = _vocab_dev(k)
-    max_g = max(1, MAX_KFREE_BATCH_BYTES // (4 * (4**k + 1)))
+    from ..kmer.vocab import canonical_vocab_size
+
+    rank_fold, table = _kfree_fold(k, _bucket_bases(max(c.size for c in codes_list)))
+    per_genome = 4 * ((canonical_vocab_size(k) + 1) if rank_fold else (4**k + 1))
+    max_g = max(1, MAX_KFREE_BATCH_BYTES // per_genome)
     while max_g & (max_g - 1):  # power of 2 so the G bucket respects the cap
         max_g &= max_g - 1
     if len(codes_list) > max_g:
@@ -403,7 +472,7 @@ def count_canonical_device_kfree_batch_async(codes_list: list[np.ndarray], k: in
         ]
         return _readback_async(jnp.concatenate(parts, axis=0))
     g_real, packed, inv = _pack_genome_batch(codes_list)
-    acc = _count_kfree_batch_jit(jax.device_put(packed), jax.device_put(inv), vocab, k)
+    acc = _count_kfree_batch_jit(jax.device_put(packed), jax.device_put(inv), table, k, rank_fold)
     return _readback_async(acc[:g_real])
 
 

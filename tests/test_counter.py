@@ -262,3 +262,23 @@ def test_sorted_path_via_counter_tokens(monkeypatch):
         r = count_canonical_numpy(concat_with_separators([s], k), k)
         assert np.array_equal(h, r)
         assert np.array_equal(fv, r[vocab].astype(np.float64))
+
+
+def test_rank_table_inverts_vocab():
+    """rank_table[vocab[i]] == i (the kfree path's vocab-order fold),
+    non-canonical codes and the invalid sentinel map to V."""
+    import numpy as np
+
+    from kf2vecfsw_tpu.kernels.histogram import _rank_table_jit
+    from kf2vecfsw_tpu.kmer.vocab import canonical_vocab_codes, revcomp_codes
+
+    for k in (3, 5, 7):
+        table = np.asarray(_rank_table_jit(k))
+        vocab = canonical_vocab_codes(k)
+        v = vocab.size
+        assert table.shape == (4**k + 1,)
+        np.testing.assert_array_equal(table[vocab], np.arange(v))
+        codes = np.arange(4**k)
+        noncanon = codes[revcomp_codes(codes, k) < codes]
+        assert np.all(table[noncanon] == v)
+        assert table[-1] == v
