@@ -105,12 +105,15 @@ class KmerCounter:
     # ~240/s/core host; cost quadruples per +1 k), so k > 7 uses the k-free
     # scatter-add device path instead (kernels/histogram.py)
     max_device_k: int = 7
-    # auto backend's host window: the host's dense histogram is L2/L3
-    # resident through k=9 (4^9 u32 = 1 MB -> ~22 ms / 5 Mb genome, faster
-    # than the chip's ~58 ms scatter floor), but spills from k=10 (4 MB+)
-    # while the device scatter path stays flat in k (58-76 ms for k=9..13)
-    # — so auto counts k=8..9 on the host and k >= 10 on the chip
-    min_kfree_k: int = 10
+    # auto backend's host window, set from measurement (r4, 5 Mb genome,
+    # one host core vs v5e): the host's dense histogram is cache-resident
+    # through k=10 (host 487/156 MB/s at k=9/10 vs the chip's ~75 scatter
+    # floor) but falls off a cliff once 4^k u32 spills LLC — 36.9 / 12.4 /
+    # 4.8 MB/s at k=11/12/13 — while the chip's k-free path stays flat
+    # (rank fold: 51.2 at k=11, 35.6 at k=13, device-resident inputs).
+    # So auto counts k=8..10 on the host and k >= 11 on the chip
+    # (chip/host-core margin: 1.4x at k=11, ~7x at k=13).
+    min_kfree_k: int = 11
 
     def __post_init__(self):
         self._vocab: np.ndarray | None = None
