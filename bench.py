@@ -420,21 +420,35 @@ def bench_serving() -> dict:
                     f.write(f"g{i}\t" + f32_row(emb[i]))
         from kf2vecfsw_tpu.utils import phases
 
+        from kf2vecfsw_tpu.infer.cache import clear_query_data
+
         classify_func(qdir, files, mdir, 28, odir)  # warm (jit compiles,
         query_func(qdir, files, mdir, odir, 28, odir)  # model cache fills)
         # steady-state serving: models are device-resident (infer/cache.py)
-        # after the warm pass, as in a persistent serving process. The phase
-        # collector accounts the e2e wall clock — parts must ~sum to it
-        # (round-3 verdict item 1: no unaccounted dispatch bucket).
+        # after the warm pass, as in a persistent serving process — but the
+        # QUERY data caches are cleared so the timed pass parses + ships the
+        # feature matrix like a fresh query set arriving (the production
+        # pattern; leaving them warm would measure re-serving the identical
+        # files). The phase collector accounts the e2e wall clock — parts
+        # must ~sum to it (round-3 verdict item 1).
+        clear_query_data()
         with phases.collect() as ph:
             t0 = time.perf_counter()
             classify_func(qdir, files, mdir, 28, odir)
             query_func(qdir, files, mdir, odir, 28, odir)
             dt = time.perf_counter() - t0
+        # hot re-serve: everything resident (repeat placement of the same
+        # set, e.g. against a retrained library) — isolates the compute+
+        # format floor of the serving loop
+        t0 = time.perf_counter()
+        classify_func(qdir, files, mdir, 28, odir)
+        query_func(qdir, files, mdir, odir, 28, odir)
+        dt_hot = time.perf_counter() - t0
         t_parse = ph.get("parse", 0.0)
         t_format = ph.get("format", 0.0)
         breakdown = {
             "serving_model_load_ms": round(1e3 * ph.get("model_load", 0.0), 1),
+            "serving_transfer_ms": round(1e3 * ph.get("transfer", 0.0), 1),
             "serving_dispatch_ms": round(1e3 * ph.get("dispatch", 0.0), 1),
             "serving_fetch_ms": round(1e3 * ph.get("fetch", 0.0), 1),
             "serving_dispatches": int(ph.get("dispatches", 0)),
@@ -446,7 +460,14 @@ def bench_serving() -> dict:
                 * min(
                     sum(
                         ph.get(k, 0.0)
-                        for k in ("model_load", "dispatch", "fetch", "parse", "format")
+                        for k in (
+                            "model_load",
+                            "transfer",
+                            "dispatch",
+                            "fetch",
+                            "parse",
+                            "format",
+                        )
                     ),
                     dt,
                 )
@@ -491,6 +512,7 @@ def bench_serving() -> dict:
             dt_chip = min(dt_chip, (time.perf_counter() - t0) / 4)
     return {
         "serving_queries_per_s": round(nq / dt, 1),
+        "serving_hot_queries_per_s": round(nq / dt_hot, 1),
         "serving_onchip_queries_per_s": round(nq / dt_chip, 1),
         "serving_parse_ms_per_query": round(1e3 * t_parse / nq, 3),
         "serving_format_ms_per_query": round(1e3 * t_format / nq, 3),

@@ -148,7 +148,111 @@ def read_kf_files_cached(paths: list[str], dtype=np.float32):
     return all_names, np.vstack(mats).astype(dtype, copy=False)
 
 
+# -- shared device-resident query feature matrix --------------------------------
+#
+# classify and query each ship the SAME query feature block host->device
+# (classify once, query once per clade partition) — on a 37 MB/s tunneled
+# link the duplicate 17 MB transfer is ~35% of the 512-query e2e wall clock.
+# Cache the whole scaled (rows, V) matrix on device once per query-file set;
+# classify slices row blocks from it and query gathers per-clade row subsets
+# by index, so only tiny int32 index vectors cross the link after the first
+# pass. Keyed by the ordered (realpath, mtime_ns, size) of every file so a
+# re-written query file invalidates the set.
+
+
+class QueryMatrixCache:
+    """Tiny LRU (few entries — serving processes handle one query set at a
+    time) of (row_names, {file_stem: (start, stop)}, device matrix)."""
+
+    def __init__(self, max_entries: int = 2):
+        self._max = max_entries
+        self._lock = threading.Lock()
+        self._entries: OrderedDict[tuple, tuple] = OrderedDict()
+
+    def get(self, paths: list[str]):
+        """None when disabled, over budget, or the set is not cacheable."""
+        if os.environ.get("KF2VEC_NO_QUERY_MATRIX"):
+            return None
+        try:
+            key = tuple(
+                (os.path.realpath(p), st.st_mtime_ns, st.st_size)
+                for p, st in ((p, os.stat(p)) for p in paths)
+            )
+        except OSError:
+            return None
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None:
+                self._entries.move_to_end(key)
+                return hit
+        value = self._build(paths, key)
+        if value is None:
+            return None
+        with self._lock:
+            self._entries[key] = value
+            while len(self._entries) > self._max:
+                self._entries.popitem(last=False)
+        return value
+
+    def _build(self, paths: list[str], key: tuple):
+        from .. import defaults
+        from ..io.kf import read_kf
+        from ..utils import phases
+        from ..utils.membudget import hbm_fraction
+
+        total_bytes = sum(sig[2] for sig in key)
+        # text is ~2.4x the f32 it parses to; cheap pre-gate before parsing
+        if total_bytes * 2 > hbm_fraction(1, 8):
+            return None
+        names: list[str] = []
+        spans: dict[str, tuple[int, int]] = {}
+        mats: list[np.ndarray] = []
+        row = 0
+        with phases.phase("parse"):
+            for p in paths:
+                stem = os.path.basename(p).removesuffix(".kf")
+                f_names, mat = read_kf(p, dtype=np.float32)
+                if mat.size and mats and mat.shape[1] != mats[0].shape[1]:
+                    return None  # mixed widths: legacy path reports the error
+                names.extend(f_names)
+                spans[stem] = (row, row + len(f_names))
+                row += len(f_names)
+                if mat.size:
+                    mats.append(mat)
+        if not mats:
+            return None
+        full = np.vstack(mats)
+        if full.shape[0] != row:
+            return None  # a file with names but no rows would desync spans
+        if full.nbytes > hbm_fraction(1, 8):
+            return None
+        with phases.phase("transfer"):
+            dev = jax.device_put(full * np.float32(defaults.FEATURES_SCALER))
+        return names, spans, dev
+
+    def clear(self) -> None:
+        with self._lock:
+            self._entries.clear()
+
+
+_query_mats = QueryMatrixCache()
+
+
+def cached_query_matrix(paths: list[str]):
+    """(row_names, {stem: (start, stop)}, device (rows, V) f32 matrix
+    already scaled by FEATURES_SCALER) — or None (fall back per-block)."""
+    return _query_mats.get([p for p in paths if p.endswith(".kf")])
+
+
+def clear_query_data() -> None:
+    """Drop parsed/transferred QUERY data (fresh-queries simulation / tests);
+    model checkpoints and anchors stay resident like a real serving process."""
+    _kf_rows.clear()
+    _query_mats.clear()
+
+
 def clear_all() -> None:
     _checkpoints.clear()
     _anchors.clear()
     _kf_rows.clear()
+    _query_mats.clear()

@@ -65,9 +65,42 @@ def classify_func(
         classes_path = os.path.join(output_dir, "classes.out")
         header = ["genome", "top_class", "top_p"] + [str(x) for x in range(class_count)]
         from ..train.step import bucket_items
+        from .cache import cached_query_matrix
         from .query import _prefetch_blocks
 
+        # shared device-resident feature matrix: the same rows the query pass
+        # will gather per clade transfer ONCE for both passes (see
+        # infer/cache.py). Falls back to per-block host parse+ship when the
+        # set is over budget / not cacheable.
+        qmat = cached_query_matrix(feature_files)
+
+        def _dev_blocks(qmat):
+            import jax.numpy as jnp
+
+            all_names, _, dev = qmat
+            if column_mask is not None and dev.shape[1] == column_mask.size:
+                dev = jnp.take(
+                    dev, jnp.asarray(np.nonzero(column_mask)[0], np.int32), axis=1
+                )
+            if dev.shape[1] != input_size:
+                raise ValueError(
+                    f"feature width {dev.shape[1]} != model input {input_size}"
+                )
+            # uniform ROW blocks (file blocks vary in rows): full blocks share
+            # one compiled shape and the slice/pad ops run on device — no
+            # feature bytes cross the link
+            for z in range(0, len(all_names), block_size):
+                n_rows = min(block_size, len(all_names) - z)
+                x = jax.lax.dynamic_slice_in_dim(dev, z, n_rows, axis=0)
+                n_pad = bucket_items(max(n_rows, 1), floor=64)
+                if n_pad != n_rows:
+                    x = jnp.pad(x, ((0, n_pad - n_rows), (0, 0)))
+                yield all_names[z : z + n_rows], x, n_rows
+
         def _blocks():
+            if qmat is not None:
+                yield from _dev_blocks(qmat)
+                return
             for z in range(0, len(feature_files), block_size):
                 with phases.phase("parse"):
                     from .cache import read_kf_files_cached

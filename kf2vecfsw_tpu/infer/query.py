@@ -115,7 +115,12 @@ def query_func(
 
         remap = read_remap(remap_path, log)
         written: list[str] = []
-        from .cache import cached_checkpoint, cached_embeddings
+        from .cache import cached_checkpoint, cached_embeddings, cached_query_matrix
+
+        # shared device-resident feature matrix (one transfer for the
+        # classify AND query passes; per-clade blocks become on-device
+        # gathers by tiny int32 index vectors). None -> per-block host path.
+        qmat = cached_query_matrix(feature_files)
 
         for c in clades:
             contig_ids = [g for g, cl in assignments if cl == c]
@@ -143,7 +148,11 @@ def query_func(
                 loader = _npy_block_loader(features_folder, k)
             else:
                 qstep = _QSTEP_DENSE
-                loader = _kf_block_loader(features_folder)
+                loader = (
+                    _kf_gather_loader(qmat)
+                    if qmat is not None
+                    else _kf_block_loader(features_folder)
+                )
 
             dist_path = os.path.join(output_dir, f"apples_input_di_mtrx_subtree_{c}.csv")
             emb_path = os.path.join(output_dir, f"embedding_subtree_{c}.emb")
@@ -175,12 +184,13 @@ def query_func(
 
                 pending = None
                 for names, x in _prefetch_blocks(_blocks()):
-                    real = x.shape[0]
+                    real = len(names)
                     nb = bucket_items(real)
-                    if nb > real:
+                    if nb > real and x.shape[0] == real:
                         # bucket the row count (like classify): otherwise the
                         # final partial block's distinct shape costs a fresh
                         # compile per distinct tail size across clades
+                        # (the device-gather loader arrives pre-padded)
                         x = np.concatenate(
                             [x, np.zeros((nb - real,) + x.shape[1:], x.dtype)]
                         )
@@ -215,6 +225,37 @@ def _prefetch_blocks(blocks_iter, depth: int = 2):
     from ..utils.prefetch import prefetch_iter
 
     return prefetch_iter(blocks_iter, depth=depth)
+
+
+def _kf_gather_loader(qmat):
+    """Block loader over the device-resident query matrix: rows for this
+    block's contig ids are gathered ON DEVICE by an int32 index vector
+    (already bucket-padded with row 0 — padded rows are cropped at fetch),
+    so no feature bytes cross the host->device link per block."""
+    import jax.numpy as jnp
+
+    all_names, spans, dev = qmat
+
+    def load(ids: list[str]):
+        idx: list[int] = []
+        names: list[str] = []
+        for g in ids:
+            span = spans.get(g)
+            if span is None:
+                raise FileNotFoundError(
+                    f"{g}.kf was not in the cached query feature set"
+                )
+            start, stop = span
+            idx.extend(range(start, stop))
+            names.extend(all_names[start:stop])
+        real = len(idx)
+        nb = bucket_items(max(real, 1))
+        x = jnp.take(
+            dev, jnp.asarray(np.pad(np.asarray(idx, np.int32), (0, nb - real))), axis=0
+        )
+        return names, x
+
+    return load
 
 
 def _kf_block_loader(folder: str):

@@ -604,14 +604,23 @@ def _probe_link_once(seed: int) -> float:
 
 def _probe_link_subprocess(threshold: float, deadline_s: float):
     """Run the best-of-3 link probe in a child interpreter so a wedged
-    device can be abandoned cleanly (kill by exact PID via subprocess
-    timeout). Returns (mbps, n_probes) or None on timeout/failure."""
+    device can be abandoned cleanly (kill by exact PID). Two deadlines:
+    backend INIT gets its own generous budget (interpreter start + plugin
+    init take tens of seconds when the host core is contended — a busy
+    build host must not read as "device unreachable", which silently
+    demoted counting to the host path in the r4 bench), then the transfer
+    probe itself gets `deadline_s` from the READY mark. Returns
+    (mbps, n_probes) or None on timeout/failure."""
     import subprocess
     import sys
+    import time as _time
 
+    init_deadline_s = float(os.environ.get("KF2VEC_LINK_PROBE_INIT_TIMEOUT_S", "150"))
     script = (
         "import numpy as np, time\n"
         "import jax\n"
+        "jax.devices()\n"
+        "print('KF2VEC_READY', flush=True)\n"
         "def probe(seed):\n"
         "    buf = np.random.default_rng(seed).integers(0, 256, size=4 << 20).astype(np.uint8)\n"
         "    np.asarray(jax.device_put(buf[: 1 << 16])[:8])\n"
@@ -625,20 +634,42 @@ def _probe_link_subprocess(threshold: float, deadline_s: float):
         "while best < threshold and n < 3:\n"
         "    best = max(best, probe(0x5EED + n))\n"
         "    n += 1\n"
-        "print(f'KF2VEC_LINK {best} {n}')\n"
+        "print(f'KF2VEC_LINK {best} {n}', flush=True)\n"
     )
+    proc = None
     try:
-        r = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-c", script],
-            capture_output=True, text=True, timeout=deadline_s,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
-        for line in r.stdout.splitlines():
-            if line.startswith("KF2VEC_LINK "):
+        import select
+
+        deadline = _time.monotonic() + init_deadline_s
+        while True:
+            left = deadline - _time.monotonic()
+            if left <= 0:
+                return None  # wedged (init or transfer) — finally kills it
+            ready, _, _ = select.select([proc.stdout], [], [], min(left, 1.0))
+            if not ready:
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                return None  # child died without answering
+            if line.startswith("KF2VEC_READY"):
+                deadline = _time.monotonic() + deadline_s
+            elif line.startswith("KF2VEC_LINK "):
                 _, mbps, n = line.split()
                 return float(mbps), int(n)
+    except OSError:
         return None
-    except (subprocess.TimeoutExpired, OSError):
-        return None
+    finally:
+        if proc is not None and proc.poll() is None:
+            proc.kill()
+        if proc is not None:
+            try:
+                proc.wait(timeout=10)
+            except Exception:
+                pass
 
 
 def link_bandwidth_mbps(threshold: float = 100.0) -> float:

@@ -107,13 +107,14 @@ class KmerCounter:
     max_device_k: int = 7
     # auto backend's host window, set from measurement (r4, 5 Mb genome,
     # one host core vs v5e): the host's dense histogram is cache-resident
-    # through k=10 (host 487/156 MB/s at k=9/10 vs the chip's ~75 scatter
-    # floor) but falls off a cliff once 4^k u32 spills LLC — 36.9 / 12.4 /
-    # 4.8 MB/s at k=11/12/13 — while the chip's k-free path stays flat
-    # (rank fold: 51.2 at k=11, 35.6 at k=13, device-resident inputs).
-    # So auto counts k=8..10 on the host and k >= 11 on the chip
-    # (chip/host-core margin: 1.4x at k=11, ~7x at k=13).
-    min_kfree_k: int = 11
+    # through k=10 (host 487/156 MB/s at k=9/10 vs the chip's ~77 scatter
+    # floor) and falls off a cliff once 4^k u32 spills LLC — k=11 swings
+    # 37-66 MB/s across runs (vs the chip's steady 52-53: a wash; ties go
+    # to the host, which needs no link), then 12.4 / 4.8 at k=12/13 while
+    # the chip's k-free rank fold stays near-flat (43.5 / 35.6). So auto
+    # counts k <= 11 on the host and k >= 12 on the chip (chip/host-core
+    # margin >= 1.7x at k=12 even at the host's best, ~7x at k=13).
+    min_kfree_k: int = 12
 
     def __post_init__(self):
         self._vocab: np.ndarray | None = None

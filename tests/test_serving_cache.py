@@ -176,3 +176,72 @@ def test_read_kf_files_cached_matches_and_invalidates(tmp_path):
     write_kf(paths[2], [("q2", np.ones(16))])
     _, mat3 = read_kf_files_cached(paths, dtype=np.float32)
     assert np.allclose(mat3[2], 1.0)
+
+
+def test_query_matrix_serving_byte_parity(tmp_path, monkeypatch):
+    """classify+query through the device-resident query matrix (default)
+    must emit byte-identical classes.out / APPLES matrices / embeddings to
+    the legacy per-block host path (KF2VEC_NO_QUERY_MATRIX=1), including a
+    multi-row (chunked-style) query file."""
+    from kf2vecfsw_tpu.infer import cache
+    from kf2vecfsw_tpu.infer.classify import classify_func
+    from kf2vecfsw_tpu.infer.query import query_func
+    from kf2vecfsw_tpu.io.kf import write_kf
+    from kf2vecfsw_tpu.models.mlp import init_classifier, init_dist_embed
+    from kf2vecfsw_tpu.train.checkpoint import save_checkpoint
+    from kf2vecfsw_tpu.train.distance import f32_row
+
+    rng = np.random.default_rng(5)
+    v, e, nb = 32, 8, 6
+    qdir = tmp_path / "q"
+    mdir = tmp_path / "m"
+    qdir.mkdir()
+    mdir.mkdir()
+    files = []
+    for i in range(5):
+        p = str(qdir / f"q{i}.kf")
+        write_kf(p, [(f"q{i}", rng.random(v))])
+        files.append(p)
+    # one multi-row file: rows named like chunk windows
+    p = str(qdir / "multi.kf")
+    write_kf(p, [(f"multi", rng.random(v)) for _ in range(3)])
+    files.append(p)
+
+    key = jax.random.PRNGKey(0)
+    save_checkpoint(
+        str(mdir / "classifier_model.ckpt"),
+        "NeuralNetClassifierOnly",
+        {"model_input_size": v, "model_hidden_size_fc1": 8, "model_class_count": 2},
+        init_classifier(key, v, 8, 2),
+    )
+    for c in (0, 1):
+        save_checkpoint(
+            str(mdir / f"model_subtree_{c}.ckpt"),
+            "NeuralNet",
+            {"model_input_size": v, "model_hidden_size_fc1": 8, "model_embedding_size": e},
+            init_dist_embed(jax.random.PRNGKey(c), v, 8, e),
+        )
+        with open(mdir / f"embeddings_subtree_{c}.csv", "w") as f:
+            for i in range(nb):
+                f.write(f"g{i}\t" + f32_row(rng.normal(size=e).astype(np.float32)))
+
+    outs = {}
+    for tag, env in (("cached", None), ("legacy", "1")):
+        odir = tmp_path / f"o_{tag}"
+        odir.mkdir()
+        cache.clear_all()
+        if env is None:
+            monkeypatch.delenv("KF2VEC_NO_QUERY_MATRIX", raising=False)
+        else:
+            monkeypatch.setenv("KF2VEC_NO_QUERY_MATRIX", env)
+        classify_func(str(qdir), files, str(mdir), 28, str(odir))
+        query_func(str(qdir), files, str(mdir), str(odir), 28, str(odir))
+        outs[tag] = {
+            f: open(odir / f, "rb").read()
+            for f in sorted(os.listdir(odir))
+            if f.endswith((".out", ".csv", ".emb"))
+        }
+    assert sorted(outs["cached"]) == sorted(outs["legacy"])
+    for f in outs["cached"]:
+        assert outs["cached"][f] == outs["legacy"][f], f
+    cache.clear_all()
