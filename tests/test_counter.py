@@ -282,3 +282,44 @@ def test_rank_table_inverts_vocab():
         noncanon = codes[revcomp_codes(codes, k) < codes]
         assert np.all(table[noncanon] == v)
         assert table[-1] == v
+
+
+def test_link_probe_subprocess_phases(monkeypatch):
+    """The link-probe watchdog: parses the child's answer, enforces the
+    init deadline on a silent child, and enforces the (shorter) transfer
+    deadline after READY — killing the child by exact PID both ways."""
+    import subprocess
+    import sys
+    import time
+
+    import kf2vecfsw_tpu.kernels.histogram as H
+
+    real_popen = subprocess.Popen
+    child_code = {}
+
+    def fake_popen(cmd, **kw):
+        return real_popen([sys.executable, "-c", child_code["src"]], **kw)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+
+    # happy path
+    child_code["src"] = "print('KF2VEC_READY', flush=True); print('KF2VEC_LINK 123.5 2', flush=True)"
+    assert H._probe_link_subprocess(100.0, 5.0) == (123.5, 2)
+
+    # silent wedge before init: init deadline applies
+    monkeypatch.setenv("KF2VEC_LINK_PROBE_INIT_TIMEOUT_S", "1")
+    child_code["src"] = "import time; time.sleep(30)"
+    t0 = time.perf_counter()
+    assert H._probe_link_subprocess(100.0, 30.0) is None
+    assert time.perf_counter() - t0 < 10
+
+    # init answers, transfer wedges: the probe deadline applies
+    child_code["src"] = "import time; print('KF2VEC_READY', flush=True); time.sleep(30)"
+    monkeypatch.setenv("KF2VEC_LINK_PROBE_INIT_TIMEOUT_S", "20")
+    t0 = time.perf_counter()
+    assert H._probe_link_subprocess(100.0, 1.0) is None
+    assert time.perf_counter() - t0 < 10
+
+    # child dies without answering
+    child_code["src"] = "pass"
+    assert H._probe_link_subprocess(100.0, 5.0) is None
