@@ -615,11 +615,27 @@ def _probe_link_subprocess(threshold: float, deadline_s: float):
     import sys
     import time as _time
 
-    init_deadline_s = float(os.environ.get("KF2VEC_LINK_PROBE_INIT_TIMEOUT_S", "150"))
+    init_deadline_s = float(os.environ.get("KF2VEC_LINK_PROBE_INIT_TIMEOUT_S", "240"))
+    # the child re-imports the package (with the parent's sys.path) so the
+    # persistent XLA compilation cache is enabled: without it the probe's
+    # first tiny fetch COMPILES its slice program on the remote compile
+    # service — measured ~100 s on this rig — and a 45 s flat deadline read
+    # that as "device unreachable". READY is printed only after that first
+    # warm fetch, so compile/session setup counts against the (generous)
+    # init deadline and the transfer deadline times only transfers.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     script = (
+        "import sys\n"
+        f"sys.path.insert(0, {pkg_root!r})\n"
+        "try:\n"
+        "    import kf2vecfsw_tpu  # enables the persistent compile cache\n"
+        "except Exception:\n"
+        "    pass\n"
         "import numpy as np, time\n"
         "import jax\n"
         "jax.devices()\n"
+        "warm = np.zeros(1 << 16, np.uint8)\n"
+        "np.asarray(jax.device_put(warm)[:8])\n"
         "print('KF2VEC_READY', flush=True)\n"
         "def probe(seed):\n"
         "    buf = np.random.default_rng(seed).integers(0, 256, size=4 << 20).astype(np.uint8)\n"
