@@ -110,12 +110,23 @@ def cached_checkpoint(path: str) -> tuple[str, dict, Any]:
 
 
 def cached_embeddings(path: str) -> tuple[list[str], jax.Array]:
-    """Backbone embeddings CSV -> (names, device array), LRU-cached."""
+    """Backbone embeddings CSV -> (names, device array), LRU-cached.
+
+    The anchor ROW COUNT is padded to the geometric item bucket (zeros):
+    every clade's backbone size then maps to one of a handful of shapes, so
+    the fused query step (forward + cdist to anchors) compiles once per
+    bucket instead of once per subtree — on compile-bound rigs the
+    per-subtree distinct anchor counts were 9 fresh ~15-30 s XLA compiles
+    per serving process. Callers crop distance columns to len(names)."""
 
     def build():
+        from ..train.step import bucket_items
         from .query import read_embeddings_csv
 
         names, emb = read_embeddings_csv(path)
+        nb = bucket_items(emb.shape[0])
+        if nb > emb.shape[0]:
+            emb = np.pad(emb, ((0, nb - emb.shape[0]), (0, 0)))
         return names, jax.device_put(np.ascontiguousarray(emb))
 
     return _anchors.get(path, build)

@@ -175,7 +175,9 @@ def query_func(
                     labels, out_dev, d_dev, real = pending
                     with phases.phase("fetch"):
                         outputs = np.asarray(out_dev)[:real]
-                        d = np.asarray(d_dev)[:real]
+                        # crop anchor columns: emb_dev rows are bucket-padded
+                        # (one compiled qstep per bucket, not per subtree)
+                        d = np.asarray(d_dev)[:real, : len(emb_names)]
                     with phases.phase("format"):
                         for lbl, drow in zip(labels, d):
                             f_dist.write(lbl + "\t" + f32_row(drow))

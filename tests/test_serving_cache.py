@@ -245,3 +245,29 @@ def test_query_matrix_serving_byte_parity(tmp_path, monkeypatch):
     for f in outs["cached"]:
         assert outs["cached"][f] == outs["legacy"][f], f
     cache.clear_all()
+
+
+def test_cached_embeddings_bucket_pads_anchor_rows(tmp_path):
+    """Anchor matrices are row-padded to the geometric item bucket so every
+    clade's backbone size shares one of a handful of compiled query-step
+    shapes (previously each distinct anchor count was a fresh ~15-30 s XLA
+    compile per serving process). Names keep the REAL count — query crops
+    distance columns to len(names)."""
+    from kf2vecfsw_tpu.infer.cache import cached_embeddings
+    from kf2vecfsw_tpu.train.step import bucket_items
+
+    rng = np.random.default_rng(0)
+    for n in (21, 26, 31):
+        emb = rng.normal(size=(n, 16)).astype(np.float32)
+        p = str(tmp_path / f"embeddings_subtree_{n}.csv")
+        with open(p, "w") as f:
+            for i in range(n):
+                f.write(f"g{i:03d}\t" + "\t".join(str(x) for x in emb[i]) + "\n")
+        names, dev = cached_embeddings(p)
+        assert len(names) == n
+        assert dev.shape == (bucket_items(n), 16)
+        got = np.asarray(dev)
+        np.testing.assert_allclose(got[:n], emb, rtol=1e-6)
+        assert not got[n:].any()  # zero padding
+    # 21..31 collapse onto exactly two buckets (24 and 32)
+    assert {bucket_items(n) for n in range(21, 32)} == {24, 32}
