@@ -200,6 +200,15 @@ def _cmd_process_query_data(args):
     print("\n==> Query processing step is completed!\n")
 
 
+def _cmd_serve(args):
+    from .infer.serve import ServeDaemon
+
+    daemon = ServeDaemon(args)
+    if args.warm:
+        daemon.handle_warm({})
+    raise SystemExit(daemon.serve())
+
+
 def _cmd_get_chunks(args):
     from .ingest.chunks import get_chunks
 
@@ -444,6 +453,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("classes", help="Path to classes.out")
     p.set_defaults(func=_cmd_get_secondary_classes)
 
+    # not in the reference (which re-invokes process_query_data per batch,
+    # main.py:626-651): a persistent serving daemon that keeps models
+    # device-resident between requests — see infer/serve.py
+    p = sub.add_parser(
+        "serve",
+        description=(
+            "Persistent placement server: JSON-lines requests on stdin, one "
+            "JSON response per line on stdout; models stay device-resident "
+            "between requests (commands: ping, warm, stats, place, "
+            "place_features, quit)"
+        ),
+    )
+    p.add_argument("-classifier_model", required=True)
+    p.add_argument("-distance_model", required=True)
+    _add_k(p)
+    _add_p(p)
+    p.add_argument("-pseudocount", action="store_true")
+    p.add_argument("-cl_seed", type=int, default=D.SEED)
+    p.add_argument("-di_seed", type=int, default=D.SEED)
+    p.add_argument("-warm", action="store_true",
+                   help="Preload every model to the device before accepting requests")
+    p.set_defaults(func=_cmd_serve)
+
     return parser
 
 
@@ -452,7 +484,7 @@ def build_parser() -> argparse.ArgumentParser:
 _DEVICE_COMMANDS = {
     "get_frequencies", "get_kmers", "get_chunks", "train_classifier",
     "train_model_set", "train_classifier_chunks", "train_model_set_chunks",
-    "classify", "query", "build_library", "process_query_data",
+    "classify", "query", "build_library", "process_query_data", "serve",
 }
 
 

@@ -267,3 +267,29 @@ def clear_all() -> None:
     _anchors.clear()
     _kf_rows.clear()
     _query_mats.clear()
+
+
+def cache_stats() -> dict:
+    """Hit/miss/residency counters for the serving caches (surfaced by the
+    `serve` daemon's `stats` command so operators can see whether requests
+    are riding warm device-resident models or re-shipping bytes)."""
+    return {
+        "checkpoints": {
+            "hits": _checkpoints.hits,
+            "misses": _checkpoints.misses,
+            "entries": len(_checkpoints),
+            "device_bytes": _checkpoints.nbytes,
+        },
+        "anchors": {
+            "hits": _anchors.hits,
+            "misses": _anchors.misses,
+            "entries": len(_anchors),
+            "device_bytes": _anchors.nbytes,
+        },
+        "kf_rows": {
+            "hits": _kf_rows.hits,
+            "misses": _kf_rows.misses,
+            "entries": len(_kf_rows),
+            "host_bytes": _kf_rows.nbytes,
+        },
+    }

@@ -1,0 +1,196 @@
+"""The `serve` daemon (infer/serve.py): protocol, warm-cache reuse across
+requests, FSW-library placement, and error isolation.
+
+The daemon exists because the serving caches (infer/cache.py) only pay off
+inside a persistent process — the reference's pattern (one process per
+process_query_data invocation, main.py:626-651) re-ships every model per
+batch. Correctness here: responses are clean JSON lines (pipeline logs must
+not leak into stdout), the SECOND placement of a fresh query set rides
+cache hits for checkpoints/anchors (zero additional misses), and a failing
+request leaves the loop serving."""
+
+import glob
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from kf2vecfsw_tpu.cli import build_parser
+from kf2vecfsw_tpu.infer.cache import clear_all
+from kf2vecfsw_tpu.infer.serve import ServeDaemon
+from kf2vecfsw_tpu.io.kf import write_kf
+from kf2vecfsw_tpu.models.mlp import init_classifier, init_dist_embed
+from kf2vecfsw_tpu.train.checkpoint import save_checkpoint
+from kf2vecfsw_tpu.train.distance import f32_row
+
+import jax
+
+V, H, E, NB = 64, 32, 16, 8
+
+
+def _mk_library(lib, n_subtrees=2):
+    """Tiny dense library: classifier + n subtree models + anchors."""
+    os.makedirs(lib, exist_ok=True)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(3)
+    save_checkpoint(
+        os.path.join(lib, "classifier_model.ckpt"),
+        "NeuralNetClassifierOnly",
+        {"model_input_size": V, "model_hidden_size_fc1": H,
+         "model_class_count": n_subtrees},
+        init_classifier(key, V, H, n_subtrees),
+    )
+    for c in range(n_subtrees):
+        save_checkpoint(
+            os.path.join(lib, f"model_subtree_{c}.ckpt"),
+            "NeuralNet",
+            {"model_input_size": V, "model_hidden_size_fc1": H,
+             "model_embedding_size": E},
+            init_dist_embed(key, V, H, E),
+        )
+        with open(os.path.join(lib, f"embeddings_subtree_{c}.csv"), "w") as f:
+            for i in range(NB):
+                f.write(f"g{i}\t" + f32_row(rng.normal(size=E).astype(np.float32)))
+
+
+def _mk_queries(qdir, n=6, seed=5):
+    os.makedirs(qdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        write_kf(os.path.join(qdir, f"q{i}.kf"), [(f"q{i}", rng.random(V) / V)])
+
+
+def _serve_args(lib, **over):
+    argv = ["serve", "-classifier_model", lib, "-distance_model", lib]
+    for k, v in over.items():
+        argv += [f"-{k}", str(v)]
+    return build_parser().parse_args(argv)
+
+
+def _run_requests(daemon, requests):
+    """Drive the daemon loop over in-memory pipes; returns parsed responses
+    (including the leading ready event)."""
+    stdin = io.StringIO("".join(json.dumps(r) + "\n" for r in requests))
+    stdout = io.StringIO()
+    daemon.serve(stdin=stdin, stdout=stdout)
+    lines = stdout.getvalue().splitlines()
+    return [json.loads(line) for line in lines]  # raises if logs leaked
+
+
+def test_serve_protocol_and_warm_cache_reuse(tmp_path):
+    clear_all()
+    lib = str(tmp_path / "lib")
+    _mk_library(lib)
+    q1, q2 = str(tmp_path / "q1"), str(tmp_path / "q2")
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    _mk_queries(q1, seed=5)
+    _mk_queries(q2, seed=6)  # a DIFFERENT fresh query set for request 2
+
+    daemon = ServeDaemon(_serve_args(lib))
+    resps = _run_requests(daemon, [
+        {"cmd": "ping"},
+        {"cmd": "warm"},
+        {"cmd": "place_features", "features_dir": q1, "output_dir": o1},
+        {"cmd": "stats"},
+        {"cmd": "place_features", "features_dir": q2, "output_dir": o2},
+        {"cmd": "stats"},
+        {"cmd": "quit"},
+    ])
+    ready, pong, warm, place1, stats1, place2, stats2, bye = resps
+    assert ready["event"] == "ready" and ready["subtree_models"] == 2
+    assert pong["pong"] is True
+    assert warm["ok"] and warm["models"] == 3 and warm["device_bytes"] > 0
+    assert place1["ok"] and place1["queries"] == 6
+    assert os.path.exists(os.path.join(o1, "classes.out"))
+    assert glob.glob(os.path.join(o1, "apples_input_di_mtrx_subtree_*.csv"))
+    assert place2["ok"]
+    assert glob.glob(os.path.join(o2, "apples_input_di_mtrx_subtree_*.csv"))
+    assert bye["bye"] is True
+
+    # fresh query set, warm models: request 2 must add ZERO checkpoint or
+    # anchor misses (the whole point of the daemon)
+    for kind in ("checkpoints", "anchors"):
+        assert (
+            stats2["caches"][kind]["misses"] == stats1["caches"][kind]["misses"]
+        ), kind
+        assert stats2["caches"][kind]["hits"] > stats1["caches"][kind]["hits"]
+    assert daemon.requests == 6  # ping, warm, 2 places, 2 stats
+    assert stats2["requests"] == 5  # reported before its own increment
+
+
+def test_serve_errors_keep_loop_alive(tmp_path):
+    clear_all()
+    lib = str(tmp_path / "lib")
+    _mk_library(lib)
+    daemon = ServeDaemon(_serve_args(lib))
+    resps = _run_requests(daemon, [
+        {"cmd": "place_features", "features_dir": str(tmp_path / "nope"),
+         "output_dir": str(tmp_path / "o")},
+        {"cmd": "frobnicate"},
+        "not json at all",  # json.dumps makes this a JSON string — no cmd
+        # stage code may sys.exit on a missing input dir (reference CLI
+        # behavior) — the daemon must contain SystemExit, not die
+        {"cmd": "place", "input_dir": str(tmp_path / "nofna"),
+         "output_dir": str(tmp_path / "o2")},
+        {"cmd": "ping"},
+    ])
+    assert resps[0]["event"] == "ready"
+    assert resps[1]["ok"] is False and "FileNotFoundError" in resps[1]["error"]
+    assert resps[2]["ok"] is False and "frobnicate" in resps[2]["error"]
+    assert resps[3]["ok"] is False
+    assert resps[4]["ok"] is False
+    assert resps[5]["pong"] is True  # still serving after four failures
+
+
+def test_serve_fsw_library_places_point_sets(tmp_path):
+    """An FSW subtree model is queryable through the daemon when the
+    {name}_k{k}.npy point sets sit beside the .kf features (the reference
+    could never query FSW models at all: query.py:118-126)."""
+    clear_all()
+    from kf2vecfsw_tpu.models.fsw import init_fsw_dist_embed
+
+    k = 3
+    lib = str(tmp_path / "lib")
+    os.makedirs(lib)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(7)
+    save_checkpoint(
+        os.path.join(lib, "classifier_model.ckpt"),
+        "NeuralNetClassifierOnly",
+        {"model_input_size": V, "model_hidden_size_fc1": H, "model_class_count": 1},
+        init_classifier(key, V, H, 1),
+    )
+    base_dim, fswout = 3, 12
+    params = init_fsw_dist_embed(key, k, base_dim, fswout, H, E)
+    meta = {
+        "model_input_size": k + 1, "model_hidden_size_fc1": H,
+        "model_embedding_size": E, "fsw_k": k,
+        "fsw_base_dim": base_dim, "fsw_out_dim": fswout,
+    }
+    save_checkpoint(
+        os.path.join(lib, "model_subtree_0.ckpt"), "NeuralNetFSW", meta, params
+    )
+    with open(os.path.join(lib, "embeddings_subtree_0.csv"), "w") as f:
+        for i in range(NB):
+            f.write(f"g{i}\t" + f32_row(rng.normal(size=E).astype(np.float32)))
+
+    qdir = str(tmp_path / "q")
+    _mk_queries(qdir, n=3)
+    for i in range(3):
+        n_pts = 5 + i
+        pts = np.concatenate(
+            [rng.integers(0, 4, size=(n_pts, k)), rng.random((n_pts, 1))], axis=1
+        ).astype(np.float32)
+        np.save(os.path.join(qdir, f"q{i}_k{k}.npy"), pts)
+
+    daemon = ServeDaemon(_serve_args(lib, k=k))
+    out = str(tmp_path / "o")
+    resps = _run_requests(daemon, [
+        {"cmd": "place_features", "features_dir": qdir, "output_dir": out},
+    ])
+    assert resps[1]["ok"], resps[1]
+    mat = open(os.path.join(out, "apples_input_di_mtrx_subtree_0.csv")).read()
+    assert mat.splitlines()[0].startswith("\t")
+    assert len(mat.splitlines()) == 4  # header + 3 queries
