@@ -536,7 +536,12 @@ def bench_library() -> dict:
     from kf2vecfsw_tpu import cli
 
     rng = np.random.default_rng(42)
-    n_leaves, glen = 64, 500_000
+    # env knobs are for smoke-testing the stage sequence on slow backends;
+    # the driver-recorded artifact always runs the defaults
+    n_leaves = int(os.environ.get("KF2VEC_BENCH_LIB_LEAVES", 64))
+    glen = int(os.environ.get("KF2VEC_BENCH_LIB_GLEN", 500_000))
+    epochs = os.environ.get("KF2VEC_BENCH_LIB_EPOCHS", "500")
+    size = str(max(2, n_leaves // 4)) if n_leaves < 64 else "16"
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
 
     # random binary join tree; genomes evolve along it (2%/edge + exp noise)
@@ -585,19 +590,35 @@ def bench_library() -> dict:
         tree = os.path.join(work, "tree.nwk")
         with open(tree, "w") as f:
             f.write(newick(root) + "\n")
+        # the same stages the build_library wrapper runs (cli.py
+        # _cmd_build_library), invoked through the real CLI but one
+        # subcommand at a time so the recorded artifact carries a per-stage
+        # wall-clock breakdown — a tunnel stall or link-probe timeout then
+        # shows WHERE it hit instead of hiding inside one opaque number
+        stages = [
+            ("count", ["get_frequencies", "-input_dir", fna,
+                       "-output_dir", out, "-k", "7"]),
+            ("divide", ["divide_tree", "-tree", tree, "-size", size]),
+            ("distances", ["get_distances", "-tree", tree, "-subtrees",
+                           os.path.join(work, "tree.subtrees"),
+                           "-mode", "hybrid"]),
+            ("classifier", ["train_classifier", "-input_dir", out,
+                            "-subtrees", os.path.join(work, "tree.subtrees"),
+                            "-e", epochs, "-o", out]),
+            # -no_fsw: the build_library wrapper trains the dense family
+            # (reference main.py:569-622); same here for continuity with
+            # the wrapper-based r4 measurement
+            ("dist_models", ["train_model_set", "-input_dir", out,
+                             "-subtrees", os.path.join(work, "tree.subtrees"),
+                             "-true_dist", work, "-e", epochs,
+                             "-o", out, "-no_fsw"]),
+        ]
+        stage_s = {}
         t0 = time.perf_counter()
-        cli.main(
-            [
-                "build_library",
-                "-input_dir", fna,
-                "-output_dir", out,
-                "-tree", tree,
-                "-k", "7",
-                "-size", "16",
-                "-cl_epochs", "500",
-                "-di_epochs", "500",
-            ]
-        )
+        for name, argv in stages:
+            t = time.perf_counter()
+            cli.main(argv)
+            stage_s[name] = round(time.perf_counter() - t, 1)
         dt = time.perf_counter() - t0
         n_models = len(
             [f for f in os.listdir(out) if f.startswith("model_subtree_")]
@@ -606,9 +627,10 @@ def bench_library() -> dict:
         assert n_models >= 2
     return {
         "library_build_s": round(dt, 1),
+        "library_build_stage_s": stage_s,
         "library_build_cfg": (
-            f"64x500kb genomes, k=7, size=16, {n_models} subtree models, "
-            f"500+500 epochs, dense"
+            f"{n_leaves}x{glen//1000}kb genomes, k=7, size={size}, "
+            f"{n_models} subtree models, {epochs}+{epochs} epochs, dense"
         ),
     }
 
