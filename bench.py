@@ -595,23 +595,21 @@ def bench_library() -> dict:
         # subcommand at a time so the recorded artifact carries a per-stage
         # wall-clock breakdown — a tunnel stall or link-probe timeout then
         # shows WHERE it hit instead of hiding inside one opaque number
+        subtrees = os.path.join(work, "tree.subtrees")
         stages = [
             ("count", ["get_frequencies", "-input_dir", fna,
                        "-output_dir", out, "-k", "7"]),
             ("divide", ["divide_tree", "-tree", tree, "-size", size]),
-            ("distances", ["get_distances", "-tree", tree, "-subtrees",
-                           os.path.join(work, "tree.subtrees"),
-                           "-mode", "hybrid"]),
+            ("distances", ["get_distances", "-tree", tree,
+                           "-subtrees", subtrees, "-mode", "hybrid"]),
             ("classifier", ["train_classifier", "-input_dir", out,
-                            "-subtrees", os.path.join(work, "tree.subtrees"),
-                            "-e", epochs, "-o", out]),
+                            "-subtrees", subtrees, "-e", epochs, "-o", out]),
             # -no_fsw: the build_library wrapper trains the dense family
             # (reference main.py:569-622); same here for continuity with
             # the wrapper-based r4 measurement
             ("dist_models", ["train_model_set", "-input_dir", out,
-                             "-subtrees", os.path.join(work, "tree.subtrees"),
-                             "-true_dist", work, "-e", epochs,
-                             "-o", out, "-no_fsw"]),
+                             "-subtrees", subtrees, "-true_dist", work,
+                             "-e", epochs, "-o", out, "-no_fsw"]),
         ]
         stage_s = {}
         t0 = time.perf_counter()

@@ -63,6 +63,11 @@ def initialize_distributed() -> bool:
     happened."""
     import os
 
+    if jax.distributed.is_initialized():
+        # idempotent: one process may dispatch several CLI stages (the
+        # build_library wrapper, bench.py's staged pipeline, the serve
+        # daemon) and jax.distributed.initialize() raises on a second call
+        return True
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     ):
