@@ -22,10 +22,13 @@ nothing but the protocol):
       -> cache hit/miss + residency counters and requests served
   {"cmd": "place", "input_dir": DIR, "output_dir": DIR}
       -> full pipeline on raw FASTA: extract features, classify, (FSW point
-         sets if the library needs them,) query; reply lists written outputs
+         sets if the library needs them,) query; reply lists written outputs.
+         Optional: "k" (overrides the daemon's -k for extraction), "remap"
+         (label-remap .tsv path, as `query -remap`)
   {"cmd": "place_features", "features_dir": DIR, "output_dir": DIR}
       -> classify + query on pre-extracted features (.kf and, for FSW
-         libraries, {name}_k{k}.npy) — the hot path, no extraction
+         libraries, {name}_k{k}.npy) — the hot path, no extraction.
+         Optional: "remap"
   {"cmd": "quit"}
       -> {"ok": true, "bye": true} and exit (EOF exits too)
 
@@ -42,8 +45,6 @@ import json
 import os
 import sys
 import time
-
-from .. import defaults as D
 
 
 def _fsw_ks(distance_model_dir: str) -> list[int]:
@@ -130,13 +131,17 @@ class ServeDaemon:
             from ..ingest.kmers import get_kmers
 
             get_kmers(input_dir, output_dir, k=fk)
-        return self._classify_and_query(output_dir, output_dir)
+        return self._classify_and_query(output_dir, output_dir, req.get("remap"))
 
     def handle_place_features(self, req: dict) -> dict:
         """Pre-extracted-features placement: classify + query only."""
-        return self._classify_and_query(req["features_dir"], req["output_dir"])
+        return self._classify_and_query(
+            req["features_dir"], req["output_dir"], req.get("remap")
+        )
 
-    def _classify_and_query(self, features_dir: str, output_dir: str) -> dict:
+    def _classify_and_query(
+        self, features_dir: str, output_dir: str, remap: str | None = None
+    ) -> dict:
         from ..utils import phases
         from .classify import classify_func
         from .query import query_func
@@ -153,7 +158,7 @@ class ServeDaemon:
             )
             written = query_func(
                 features_dir, files, self.args.distance_model, output_dir,
-                self.args.di_seed, output_dir,
+                self.args.di_seed, output_dir, remap_path=remap,
             )
         dt = time.time() - t0
         return {

@@ -88,11 +88,16 @@ def test_serve_protocol_and_warm_cache_reuse(tmp_path):
     _mk_queries(q1, seed=5)
     _mk_queries(q2, seed=6)  # a DIFFERENT fresh query set for request 2
 
+    remap = str(tmp_path / "remap.tsv")
+    with open(remap, "w") as f:
+        f.write("label\tnew_label\nq0\tRENAMED_Q0\n")
+
     daemon = ServeDaemon(_serve_args(lib))
     resps = _run_requests(daemon, [
         {"cmd": "ping"},
         {"cmd": "warm"},
-        {"cmd": "place_features", "features_dir": q1, "output_dir": o1},
+        {"cmd": "place_features", "features_dir": q1, "output_dir": o1,
+         "remap": remap},
         {"cmd": "stats"},
         {"cmd": "place_features", "features_dir": q2, "output_dir": o2},
         {"cmd": "stats"},
@@ -104,7 +109,10 @@ def test_serve_protocol_and_warm_cache_reuse(tmp_path):
     assert warm["ok"] and warm["models"] == 3 and warm["device_bytes"] > 0
     assert place1["ok"] and place1["queries"] == 6
     assert os.path.exists(os.path.join(o1, "classes.out"))
-    assert glob.glob(os.path.join(o1, "apples_input_di_mtrx_subtree_*.csv"))
+    mats1 = glob.glob(os.path.join(o1, "apples_input_di_mtrx_subtree_*.csv"))
+    assert mats1
+    all_rows = "".join(open(m).read() for m in mats1)
+    assert "RENAMED_Q0" in all_rows and "\nq0\t" not in all_rows  # remap applied
     assert place2["ok"]
     assert glob.glob(os.path.join(o2, "apples_input_di_mtrx_subtree_*.csv"))
     assert bye["bye"] is True
