@@ -56,8 +56,14 @@ def _sort_pw(p, w):
     instead of carrying a second f32 operand through the inverse-sort. This
     makes the backward a 2-operand int32-keyed sort (the minimal permutation
     inversion) rather than round 2's 3-operand one. Do not reuse this
-    primitive somewhere weights need gradients."""
-    return jax.lax.sort((p, w), dimension=-1, is_stable=False, num_keys=1)
+    primitive somewhere weights need gradients.
+
+    Keys are sorted as int32 via the monotone bijection _f2i_keys (the same
+    trick the lazy refresh uses): integer comparators skip the f32 sort's
+    NaN/-0.0 totality logic — measured ~20% faster at (512, 8192) — and the
+    result is bit-identical on the NaN-free projections this receives."""
+    ks, w = jax.lax.sort((_f2i_keys(p), w), dimension=-1, is_stable=False, num_keys=1)
+    return _i2f_keys(ks), w
 
 
 def _sort_pw_fwd(p, w):
@@ -66,8 +72,10 @@ def _sort_pw_fwd(p, w):
     # measure-zero, and perm/ws/ps come from the SAME sort call so they are
     # mutually consistent whatever tie order the network picked.
     iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
-    ps, ws, perm = jax.lax.sort((p, w, iota), dimension=-1, is_stable=False, num_keys=1)
-    return (ps, ws), perm
+    ks, ws, perm = jax.lax.sort(
+        (_f2i_keys(p), w, iota), dimension=-1, is_stable=False, num_keys=1
+    )
+    return (_i2f_keys(ks), ws), perm
 
 
 def _sort_pw_bwd(perm, cts):
@@ -101,23 +109,27 @@ def _sort_shared(p, wb):
     independent 2-operand sorts — measured 39 ms vs 91 ms at
     (B=16, C=512, V=8192) on v5e — and because ps is shared, autodiff
     hands the backward a single batch-summed cotangent, so the backward
-    is ONE 2-operand int32-keyed unsort instead of B of them."""
-    ops = (p,) + tuple(
+    is ONE 2-operand int32-keyed unsort instead of B of them.
+
+    Keys run through the _f2i_keys int32 bijection (see _sort_pw): the
+    comparison cost is the one part of this sort paid per element rather
+    than per riding operand, so integer comparators help most exactly here."""
+    ops = (_f2i_keys(p),) + tuple(
         jnp.broadcast_to(wb[b][None, :], p.shape) for b in range(wb.shape[0])
     )
     res = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
-    return res[0], jnp.stack(res[1:])
+    return _i2f_keys(res[0]), jnp.stack(res[1:])
 
 
 def _sort_shared_fwd(p, wb):
     iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
     ops = (
-        (p,)
+        (_f2i_keys(p),)
         + tuple(jnp.broadcast_to(wb[b][None, :], p.shape) for b in range(wb.shape[0]))
         + (iota,)
     )
     res = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
-    return (res[0], jnp.stack(res[1:-1])), (res[-1], wb)
+    return (_i2f_keys(res[0]), jnp.stack(res[1:-1])), (res[-1], wb)
 
 
 def _sort_shared_bwd(residual, cts):
