@@ -6,13 +6,21 @@ Apples-to-apples with the reference's only quantitative trace
 the author's CPU; 18,877,440 params, matching this config exactly).
 
 We run the same model/batch config through the jitted, device-resident
-epoch runner and report steps/s on one chip. Secondary metrics (also
-emitted in the same JSON line): k-mer vectorization throughput at k=7
+epoch runner and report steps/s on one chip. Secondary metrics (emitted in
+the same cumulative JSON line): k-mer vectorization throughput at k=7
 (genomes/s on 5 Mb synthetic genomes) for the Pallas counting kernel vs the
-reference-style CPU path.
+reference-style CPU path, FSW training, chunking, serving and whole-library
+build sections.
+
+Artifact durability: a cumulative JSON line is (re)printed after the
+headline and after EVERY section (the driver keeps the last parseable
+line), each section runs under a watchdog deadline, and a global budget
+(KF2VEC_BENCH_BUDGET_S) skips the tail rather than losing the artifact —
+see the harness comment above main() and tests/test_bench_harness.py.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -176,6 +184,33 @@ def bench_fsw() -> dict:
         params_i, opt, lv = step(params_i, opt)
         float(lv)
         best = min(best, time.perf_counter() - t0)
+
+    # k=9 giant-set EXACT step (VERDICT r4 item 3): V=131,072 shared-vocab
+    # point sets — the slow corner experiments/fsw_k9_step.py measured at
+    # 1323 ms/step in round 3, now on the int-keyed shared sort
+    # (models/fsw.py _sort_shared). n_items=32, B=16, 2-epoch spans.
+    V9, n9 = 4**9 // 2, 32
+    W9 = jax.random.uniform(jax.random.PRNGKey(7), (n9, V9), jnp.float32)
+    d9 = jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (n9, n9)))
+    d9 = d9 + d9.T
+    d9 = d9.at[jnp.diag_indices(n9)].set(0.0)
+    runner9 = DistanceEpochRunner(mesh, make_fsw_shared_apply(9), specs, n9, B)
+    p9 = shard_params(init_fsw_dist_embed(key, 9, base_dim, fswout, H, E), specs, mesh)
+    opt9 = adam_init(p9)
+    best9 = (jax.tree.map(jnp.copy, p9), jnp.float32(np.inf), jnp.int32(-1))
+    W9p, d9p = runner9.pad_items(W9), runner9.pad_dist(d9)
+    p9, opt9, best9, l9 = runner9.run_epoch_span(p9, opt9, best9, W9p, d9p, key, 0, 2, lr_args)
+    np.asarray(l9)  # warm / compile
+    dt9 = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        p9, opt9, best9, l9 = runner9.run_epoch_span(
+            p9, opt9, best9, W9p, d9p, key, 2 + 2 * i, 2, lr_args
+        )
+        np.asarray(l9)
+        dt9 = min(dt9, time.perf_counter() - t0)
+    k9_step_ms = 1e3 * dt9 / (2 * runner9.n_batches)
+
     return {
         "fsw_steps_per_s": round(exact, 3),
         "fsw_step_ms": round(1e3 / exact, 2),
@@ -184,6 +219,7 @@ def bench_fsw() -> dict:
         "fsw_default_steps_per_s": round(default_flags, 3),
         "fsw_default_refresh": _D.FSW_LAZY_AUTO_REFRESH,
         "fsw_pergenome_step_dispatch_ms": round(best * 1e3, 2),
+        "fsw_k9_exact_step_ms": round(k9_step_ms, 1),
     }
 
 
@@ -361,6 +397,60 @@ def bench_chunks() -> dict:
     }
 
 
+def _serving_cold_subprocess(qdir, mdir, odir, deadline_s: float):
+    """COLD-process serving wall clock (VERDICT r4 item 4): a child
+    interpreter runs the classify+query pipeline once on the same fixture —
+    interpreter start, backend init, compile-cache lookups, model + feature
+    transfers, pipeline — the reference-comparable path a cold
+    `process_query_data` invocation pays (reference main.py:626-651).
+    Watchdogged by deadline (pattern: kernels/histogram.py
+    _probe_link_subprocess); returns seconds or None on timeout/failure."""
+    import select
+    import subprocess
+    import sys
+    import time as _t
+
+    os.makedirs(odir, exist_ok=True)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    script = (
+        "import sys, glob, os\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from kf2vecfsw_tpu.infer.classify import classify_func\n"
+        "from kf2vecfsw_tpu.infer.query import query_func\n"
+        f"qdir, mdir, odir = {qdir!r}, {mdir!r}, {odir!r}\n"
+        "files = sorted(glob.glob(os.path.join(qdir, '*.kf')))\n"
+        "classify_func(qdir, files, mdir, 28, odir)\n"
+        "query_func(qdir, files, mdir, odir, 28, odir)\n"
+        "print('KF2VEC_COLD_DONE', flush=True)\n"
+    )
+    t0 = _t.perf_counter()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        deadline = _t.monotonic() + deadline_s
+        while True:
+            left = deadline - _t.monotonic()
+            if left <= 0:
+                return None
+            ready, _, _ = select.select([proc.stdout], [], [], min(left, 1.0))
+            if not ready:
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                return None  # child died without the sentinel
+            if line.startswith("KF2VEC_COLD_DONE"):
+                return _t.perf_counter() - t0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except Exception:
+            pass
+
+
 def bench_serving() -> dict:
     """End-to-end query placement throughput: classify + query over .kf
     files on disk -> classes.out + APPLES distance matrices (the deployed
@@ -444,6 +534,12 @@ def bench_serving() -> dict:
         classify_func(qdir, files, mdir, 28, odir)
         query_func(qdir, files, mdir, odir, 28, odir)
         dt_hot = time.perf_counter() - t0
+        # cold-process pass: the reference-comparable number (fresh
+        # interpreter + backend + transfers); regressions in cold start
+        # (compile-cache misses, probe timeouts) show up here
+        dt_cold = _serving_cold_subprocess(
+            qdir, mdir, os.path.join(d, "o_cold"), deadline_s=180.0
+        )
         t_parse = ph.get("parse", 0.0)
         t_format = ph.get("format", 0.0)
         breakdown = {
@@ -513,6 +609,10 @@ def bench_serving() -> dict:
     return {
         "serving_queries_per_s": round(nq / dt, 1),
         "serving_hot_queries_per_s": round(nq / dt_hot, 1),
+        "serving_cold_queries_per_s": (
+            round(nq / dt_cold, 1) if dt_cold else None
+        ),
+        "serving_cold_s": round(dt_cold, 1) if dt_cold else None,
         "serving_onchip_queries_per_s": round(nq / dt_chip, 1),
         "serving_parse_ms_per_query": round(1e3 * t_parse / nq, 3),
         "serving_format_ms_per_query": round(1e3 * t_format / nq, 3),
@@ -633,39 +733,155 @@ def bench_library() -> dict:
     }
 
 
-def main():
-    import sys
+# ---------------------------------------------------------------------------
+# Harness. Round 4's driver artifact was EMPTY (BENCH_r04.json rc=124,
+# parsed=null): the bench printed its single JSON line only after every
+# section finished, so one wedged device call or a budget overrun cost the
+# whole round's evidence. The rules now (VERDICT r4 item 1):
+#   (a) a CUMULATIVE JSON line is printed after the headline and after every
+#       section — the driver keeps the LAST parseable line, so a kill only
+#       costs the unfinished tail;
+#   (b) a global wall-clock budget (KF2VEC_BENCH_BUDGET_S, default 2400 s —
+#       well under the driver's ~1 h) skips remaining sections and emits
+#       what it has;
+#   (c) every section (and the headline) runs on a watchdog daemon thread
+#       with a deadline: a wedged device_put degrades ONE section to an
+#       error field instead of hanging the artifact. Wedged threads cannot
+#       be interrupted from Python, so they are abandoned and main() leaves
+#       via os._exit(0) — they never block interpreter exit.
+# KF2VEC_BENCH_FAKE_HANG=<fn name> replaces that section with an infinite
+# sleep — the forced-wedge self-test (tests/test_bench_harness.py) proving
+# the artifact still parses under a hang.
+
+SECTIONS = (
+    "bench_fsw",
+    "bench_vectorization",
+    "bench_chunks",
+    "bench_serving",
+    "bench_library",
+)
+SECTION_TIMEOUT_S = {
+    "bench_library": 660.0,  # library measured ~350 s in r4
+    "bench_serving": 540.0,  # includes the cold-process child (deadline 180 s)
+}
+DEFAULT_SECTION_TIMEOUT_S = 480.0
+HEADLINE_TIMEOUT_S = 600.0  # includes first device touch + compile
+
+
+def _run_deadlined(fn, timeout_s: float):
+    """Run fn() on a daemon thread with a deadline.
+
+    Returns ("ok", value), ("error", message) or ("timeout", None). The
+    thread is daemonized because a device call wedged inside the runtime
+    cannot be cancelled — it is abandoned, and the process exits via
+    os._exit so abandoned threads never hold the artifact hostage (the
+    child-interpreter variant of this pattern lives in
+    kernels/histogram.py:_probe_link_subprocess; sections here share one
+    backend so a thread, not a child, keeps compiles/caches warm)."""
+    import threading
     import traceback
 
-    steps_per_s = bench_train_steps()
-    # secondary sections are fault-tolerant: a transient failure (e.g. a
-    # dropped tunnel mid-section) must not cost the headline metric — the
-    # driver records whatever single JSON line this prints
-    extra = {}
-    for section in (
-        bench_fsw,
-        bench_vectorization,
-        bench_chunks,
-        bench_serving,
-        bench_library,
-    ):
+    box = {}
+
+    def target():
         try:
-            extra.update(section())
-        except Exception as e:
-            print(f"[bench] {section.__name__} failed:", file=sys.stderr)
+            box["value"] = fn()
+        except BaseException as e:  # noqa: BLE001 — recorded, not raised
             traceback.print_exc()
-            # short reason IN the recorded JSON line — stderr is discarded
-            # by drivers that keep only the JSON (advisor r3)
-            extra[f"{section.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
+            box["error"] = f"{type(e).__name__}: {e}"[:200]
+
+    t = threading.Thread(target=target, daemon=True, name=f"bench:{fn.__name__}")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return "timeout", None
+    if "error" in box:
+        return "error", box["error"]
+    return "ok", box.get("value")
+
+
+def _emit(result: dict) -> None:
+    """One cumulative JSON line as a SINGLE os.write: pipe writes under
+    PIPE_BUF are atomic, so a late print from an abandoned wedged thread
+    cannot splice bytes into the middle of the recorded line."""
+    import sys
+
+    line = json.dumps(result) + "\n"
+    sys.stdout.flush()
+    os.write(sys.stdout.fileno(), line.encode())
+
+
+def main():
+    import sys
+    import time as _time
+
+    t_start = _time.monotonic()
+    budget_s = float(os.environ.get("KF2VEC_BENCH_BUDGET_S", "2400"))
+    fake_hang = os.environ.get("KF2VEC_BENCH_FAKE_HANG", "")
+
+    def remaining() -> float:
+        return budget_s - (_time.monotonic() - t_start)
+
+    def resolve(name):
+        if name == fake_hang:
+            def _hang():
+                _time.sleep(10 * budget_s + 1e6)
+            _hang.__name__ = name
+            return _hang
+        return globals()[name]
+
     result = {
         "metric": "train_steps_per_s_per_chip",
-        "value": round(steps_per_s, 3),
+        "value": 0.0,
         "unit": "steps/s (V=8192,H=2048,E=1024,B=16)",
-        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 1),
-        **extra,
-        "backend": jax.default_backend(),
+        "vs_baseline": 0.0,
     }
-    print(json.dumps(result))
+
+    status, val = _run_deadlined(
+        resolve("bench_train_steps"), min(HEADLINE_TIMEOUT_S, max(remaining(), 1.0))
+    )
+    if status == "ok":
+        result["value"] = round(val, 3)
+        result["vs_baseline"] = round(val / BASELINE_STEPS_PER_S, 1)
+    else:
+        result["headline_error"] = (
+            "timeout" if status == "timeout" else val
+        )
+    # backend query can itself block on a wedged runtime — deadline it too
+    bstatus, backend = _run_deadlined(jax.default_backend, 30.0)
+    result["backend"] = backend if bstatus == "ok" else "unknown"
+    result["bench_elapsed_s"] = round(_time.monotonic() - t_start, 1)
+    _emit(result)
+
+    skipped = []
+    for name in SECTIONS:
+        left = remaining()
+        if left < 30.0:
+            skipped.append(name)
+            continue
+        status, val = _run_deadlined(
+            resolve(name), min(SECTION_TIMEOUT_S.get(name, DEFAULT_SECTION_TIMEOUT_S), left)
+        )
+        if status == "ok":
+            result.update(val)
+        else:
+            print(f"[bench] {name}: {status}", file=sys.stderr)
+            result[f"{name}_error"] = "timeout" if status == "timeout" else val
+        if skipped:
+            result["bench_sections_skipped"] = skipped  # budget ran out
+        result["bench_elapsed_s"] = round(_time.monotonic() - t_start, 1)
+        _emit(result)
+    if skipped:
+        result["bench_sections_skipped"] = skipped
+        result["bench_elapsed_s"] = round(_time.monotonic() - t_start, 1)
+        _emit(result)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard exit: abandoned watchdog threads (wedged device calls) and any
+    # runtime shutdown hang must not outlive the recorded artifact
+    # (disabled in-process for the harness self-tests)
+    if os.environ.get("KF2VEC_BENCH_NO_HARD_EXIT") != "1":
+        os._exit(0)
 
 
 if __name__ == "__main__":
