@@ -474,6 +474,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-di_seed", type=int, default=D.SEED)
     p.add_argument("-warm", action="store_true",
                    help="Preload every model to the device before accepting requests")
+    p.add_argument("-request_timeout", type=float, default=0.0,
+                   help="Per-request watchdog seconds: a request that wedges "
+                        "(e.g. a stalled device transfer) is answered with "
+                        "{ok: false} after this long and the daemon keeps "
+                        "serving. 0 disables. Env: KF2VEC_SERVE_REQUEST_TIMEOUT_S")
     p.set_defaults(func=_cmd_serve)
 
     return parser

@@ -35,15 +35,25 @@ nothing but the protocol):
 On startup the daemon emits {"ok": true, "event": "ready", ...} once the
 backend is initialized, so clients can block on readiness. Per-request
 failures return {"ok": false, "error": ...} and the loop keeps serving.
+
+Per-request watchdog (-request_timeout T / KF2VEC_SERVE_REQUEST_TIMEOUT_S):
+this rig's tunnel has produced device_put calls that never return
+(ROUND4_NOTES "Rig reliability") — an exception handler cannot contain
+those, so with a timeout set each handler runs on a deadlined worker
+thread; a request that exceeds T gets {"ok": false, "error": "...timed
+out..."} while the daemon stays alive for the next request. The wedged
+worker is abandoned (a stuck runtime call cannot be cancelled from
+Python); if the device is truly stalled, subsequent requests time out too
+— degraded but answering, never hung. 0 (default) disables the watchdog.
 """
 
 from __future__ import annotations
 
-import contextlib
 import glob
 import json
 import os
 import sys
+import threading
 import time
 
 
@@ -66,7 +76,13 @@ class ServeDaemon:
     def __init__(self, args):
         self.args = args
         self.requests = 0
+        self.timeouts = 0
         self.started = time.time()
+        # explicit flag > env > disabled
+        t = float(getattr(args, "request_timeout", 0.0) or 0.0)
+        if t <= 0:
+            t = float(os.environ.get("KF2VEC_SERVE_REQUEST_TIMEOUT_S", "0") or 0)
+        self.request_timeout_s = t if t > 0 else 0.0
 
     # -- request handlers ----------------------------------------------------
 
@@ -79,6 +95,7 @@ class ServeDaemon:
         return {
             "ok": True,
             "requests": self.requests,
+            "request_timeouts": self.timeouts,
             "uptime_s": round(time.time() - self.started, 1),
             "caches": cache_stats(),
         }
@@ -176,6 +193,42 @@ class ServeDaemon:
 
     # -- loop ----------------------------------------------------------------
 
+    def _call_handler(self, handler, req: dict) -> dict:
+        """Run one handler, deadlined when request_timeout_s is set.
+
+        The worker is a daemon thread: a handler wedged inside a runtime
+        call (the failure mode this exists for) is abandoned, never joined
+        — the loop answers with an error and moves on. Exceptions raised by
+        the handler propagate to the loop's normal per-request handler."""
+        if not self.request_timeout_s:
+            return handler(req)
+        box = {}
+        done = threading.Event()
+
+        def target():
+            try:
+                box["resp"] = handler(req)
+            except BaseException as e:  # noqa: BLE001 — re-raised in the loop
+                box["err"] = e
+            finally:
+                done.set()
+
+        t = threading.Thread(target=target, daemon=True, name="serve-request")
+        t.start()
+        if not done.wait(self.request_timeout_s):
+            self.timeouts += 1
+            return {
+                "ok": False,
+                "timeout": True,
+                "error": (
+                    f"request exceeded {self.request_timeout_s:g}s watchdog "
+                    "(device stalled?); daemon still serving"
+                ),
+            }
+        if "err" in box:
+            raise box["err"]
+        return box["resp"]
+
     def serve(self, stdin=None, stdout=None) -> int:
         stdin = stdin if stdin is not None else sys.stdin
         out = stdout if stdout is not None else sys.stdout
@@ -203,36 +256,44 @@ class ServeDaemon:
                 "distance_model": self.args.distance_model,
             }
         )
-        for line in stdin:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                req = json.loads(line)
-                cmd = req.get("cmd")
-                if cmd == "quit":
-                    respond({"ok": True, "bye": True})
-                    break
-                handler = handlers.get(cmd)
-                if handler is None:
-                    respond(
-                        {
-                            "ok": False,
-                            "error": f"unknown cmd {cmd!r}",
-                            "commands": sorted(handlers) + ["quit"],
-                        }
-                    )
+        # pipeline stages print operator logs; keep stdout pure protocol for
+        # the loop's LIFETIME rather than per-request (loggers already
+        # default to stderr). A with-redirect per request would be unsafe
+        # under the watchdog: an abandoned wedged worker exiting its context
+        # later could yank sys.stdout back mid-request; only this thread
+        # ever restores it.
+        old_stdout = sys.stdout
+        sys.stdout = sys.stderr
+        try:
+            for line in stdin:
+                line = line.strip()
+                if not line:
                     continue
-                # pipeline stages print operator logs; keep stdout pure
-                # protocol (loggers already default to stderr)
-                with contextlib.redirect_stdout(sys.stderr):
-                    resp = handler(req)
-                self.requests += 1
-                respond(resp)
-            except (Exception, SystemExit) as e:  # noqa: BLE001 — the daemon
-                # must keep serving; stage code may sys.exit on bad input
-                # (reference-compatible CLI behavior, e.g. a missing dir)
-                respond({"ok": False, "error": f"{type(e).__name__}: {e}"})
+                try:
+                    req = json.loads(line)
+                    cmd = req.get("cmd")
+                    if cmd == "quit":
+                        respond({"ok": True, "bye": True})
+                        break
+                    handler = handlers.get(cmd)
+                    if handler is None:
+                        respond(
+                            {
+                                "ok": False,
+                                "error": f"unknown cmd {cmd!r}",
+                                "commands": sorted(handlers) + ["quit"],
+                            }
+                        )
+                        continue
+                    resp = self._call_handler(handler, req)
+                    self.requests += 1
+                    respond(resp)
+                except (Exception, SystemExit) as e:  # noqa: BLE001 — the
+                    # daemon must keep serving; stage code may sys.exit on
+                    # bad input (reference-compatible CLI behavior)
+                    respond({"ok": False, "error": f"{type(e).__name__}: {e}"})
+        finally:
+            sys.stdout = old_stdout
         return 0
 
 

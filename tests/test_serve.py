@@ -202,3 +202,61 @@ def test_serve_fsw_library_places_point_sets(tmp_path):
     mat = open(os.path.join(out, "apples_input_di_mtrx_subtree_0.csv")).read()
     assert mat.splitlines()[0].startswith("\t")
     assert len(mat.splitlines()) == 4  # header + 3 queries
+
+
+def test_serve_request_watchdog_contains_wedged_handler(tmp_path, monkeypatch):
+    """VERDICT r4 item 6: a request wedged inside a device call (mocked by a
+    handler that sleeps past the deadline) must be answered {ok: false,
+    timeout: true} while the daemon keeps serving — the rig has produced
+    exactly this wedge (device_put that never returns) twice."""
+    import time as _time
+
+    clear_all()
+    lib = str(tmp_path / "lib")
+    _mk_library(lib)
+
+    monkeypatch.setattr(
+        ServeDaemon, "handle_place", lambda self, req: _time.sleep(60)
+    )
+    daemon = ServeDaemon(_serve_args(lib, request_timeout=0.2))
+    assert daemon.request_timeout_s == 0.2
+    t0 = _time.monotonic()
+    resps = _run_requests(daemon, [
+        {"cmd": "place", "input_dir": "x", "output_dir": str(tmp_path / "o")},
+        {"cmd": "ping"},
+        {"cmd": "stats"},
+        {"cmd": "quit"},
+    ])
+    assert _time.monotonic() - t0 < 30  # the 60 s sleep was NOT waited out
+    ready, wedged, pong, stats, bye = resps
+    assert wedged["ok"] is False and wedged.get("timeout") is True
+    assert "watchdog" in wedged["error"]
+    assert pong["pong"] is True  # loop survived the wedge
+    assert stats["request_timeouts"] == 1
+    assert bye["bye"] is True
+
+
+def test_serve_watchdog_env_knob_and_errors_propagate(tmp_path, monkeypatch):
+    """The env knob enables the watchdog when the flag is unset, handler
+    EXCEPTIONS under the watchdog still surface as normal error responses
+    (not timeouts), and fast requests are unaffected."""
+    clear_all()
+    lib = str(tmp_path / "lib")
+    _mk_library(lib)
+
+    def boom(self, req):
+        raise ValueError("bad input dir")
+
+    monkeypatch.setattr(ServeDaemon, "handle_place", boom)
+    monkeypatch.setenv("KF2VEC_SERVE_REQUEST_TIMEOUT_S", "5")
+    daemon = ServeDaemon(_serve_args(lib))
+    assert daemon.request_timeout_s == 5.0
+    resps = _run_requests(daemon, [
+        {"cmd": "place", "input_dir": "x", "output_dir": "y"},
+        {"cmd": "ping"},
+        {"cmd": "quit"},
+    ])
+    ready, err, pong, bye = resps
+    assert err["ok"] is False and "bad input dir" in err["error"]
+    assert "timeout" not in err
+    assert pong["pong"] is True
