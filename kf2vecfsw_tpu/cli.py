@@ -201,12 +201,14 @@ def _cmd_process_query_data(args):
 
 
 def _cmd_serve(args):
-    from .infer.serve import ServeDaemon
+    from .infer.serve import ServeDaemon, _exit_daemon
 
     daemon = ServeDaemon(args)
     if args.warm:
         daemon.handle_warm({})
-    raise SystemExit(daemon.serve())
+    rc = daemon.serve()
+    _exit_daemon(daemon, rc)  # hard exit if wedged workers were abandoned
+    raise SystemExit(rc)
 
 
 def _cmd_get_chunks(args):

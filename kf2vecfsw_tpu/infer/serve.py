@@ -298,4 +298,18 @@ class ServeDaemon:
 
 
 def serve_func(args) -> int:
-    return ServeDaemon(args).serve()
+    daemon = ServeDaemon(args)
+    rc = daemon.serve()
+    _exit_daemon(daemon, rc)
+    return rc
+
+
+def _exit_daemon(daemon: ServeDaemon, rc: int) -> None:
+    """After any watchdog timeout an abandoned worker may still sit inside a
+    wedged runtime call; interpreter shutdown then aborts (observed SIGABRT
+    from the PJRT client destructor). The protocol stream is complete at
+    this point, so leave via os._exit instead."""
+    if daemon.timeouts:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
