@@ -211,6 +211,27 @@ def bench_fsw() -> dict:
         dt9 = min(dt9, time.perf_counter() - t0)
     k9_step_ms = 1e3 * dt9 / (2 * runner9.n_batches)
 
+    # k=9 LAZY: the compact (n, C, k, 4) S plane (round 5) made the lazy
+    # path applicable at k=9 on ONE chip (the round-4 resident (n, C, V)
+    # plane was 8.6 GB and gated it off) — what -fsw_lazy_refresh auto users
+    # now get in this regime. 32-epoch spans = 64 steps, one refresh each.
+    runner9l = FSWLazyEpochRunner(mesh, 9, specs, n9, B, refresh_steps=128)
+    p9 = shard_params(init_fsw_dist_embed(key, 9, base_dim, fswout, H, E), specs, mesh)
+    opt9 = adam_init(p9)
+    best9 = (jax.tree.map(jnp.copy, p9), jnp.float32(np.inf), jnp.int32(-1))
+    W9p, d9p = runner9l.pad_items(W9), runner9l.pad_dist(d9)
+    p9, opt9, best9, l9 = runner9l.run_epoch_span(p9, opt9, best9, W9p, d9p, key, 0, 32, lr_args)
+    np.asarray(l9)  # warm / compile
+    dt9l = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        p9, opt9, best9, l9 = runner9l.run_epoch_span(
+            p9, opt9, best9, W9p, d9p, key, 32 * (1 + i), 32, lr_args
+        )
+        np.asarray(l9)
+        dt9l = min(dt9l, time.perf_counter() - t0)
+    k9_lazy_steps = 32 * runner9l.n_batches / dt9l
+
     return {
         "fsw_steps_per_s": round(exact, 3),
         "fsw_step_ms": round(1e3 / exact, 2),
@@ -220,6 +241,7 @@ def bench_fsw() -> dict:
         "fsw_default_refresh": _D.FSW_LAZY_AUTO_REFRESH,
         "fsw_pergenome_step_dispatch_ms": round(best * 1e3, 2),
         "fsw_k9_exact_step_ms": round(k9_step_ms, 1),
+        "fsw_k9_lazy_steps_per_s": round(k9_lazy_steps, 2),
     }
 
 
@@ -763,6 +785,7 @@ SECTIONS = (
 SECTION_TIMEOUT_S = {
     "bench_library": 660.0,  # library measured ~350 s in r4
     "bench_serving": 540.0,  # includes the cold-process child (deadline 180 s)
+    "bench_fsw": 720.0,  # five runners incl. two k=9 giant-set compiles
 }
 DEFAULT_SECTION_TIMEOUT_S = 480.0
 HEADLINE_TIMEOUT_S = 600.0  # includes first device touch + compile

@@ -7,7 +7,7 @@ params = init_fsw_dist_embed(jax.random.PRNGKey(0), k, 4, fswout, 2048, 1024)
 digits = _vocab_digits_dev(k)
 W = jax.random.uniform(jax.random.PRNGKey(1), (n, V), jnp.float32)
 points = params["lookup"][digits].reshape(V, -1)
-fn = jax.jit(lambda fp, W: fsw_lazy_refresh(fp, points, W, group=8))
+fn = jax.jit(lambda fp, W: fsw_lazy_refresh(fp, points, digits, W, group=8))
 d, gd = fn(params["fsw"], W); np.asarray(d.ravel()[:2])
 os.makedirs("/tmp/prof2", exist_ok=True)
 with jax.profiler.trace("/tmp/prof2/refresh"):

@@ -12,7 +12,7 @@ params = init_fsw_dist_embed(jax.random.PRNGKey(0), k, 4, fswout, 2048, 1024)
 digits = _vocab_digits_dev(k)
 W = jax.random.uniform(jax.random.PRNGKey(1), (n, V), jnp.float32)
 points = params["lookup"][digits].reshape(V, -1)
-fn = jax.jit(lambda fp, W: fsw_lazy_refresh(fp, points, W, group=group))
+fn = jax.jit(lambda fp, W: fsw_lazy_refresh(fp, points, digits, W, group=group))
 t0 = time.perf_counter()
 d, gd = fn(params["fsw"], W)
 np.asarray(d.ravel()[:2])

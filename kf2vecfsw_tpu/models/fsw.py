@@ -266,19 +266,33 @@ def fsw_embed_shared(fsw_params, points, weights, slice_chunk: int = 0):
 # permutation for R steps makes delta constant; scattered back to original
 # vocab order (delta_orig) the embedding collapses to
 #
-#     E[i,c] = sum_v p[c,v] * delta_orig[i,c,v],    p = slices @ points.T
+#     E[i,c] = sum_v p[c,v] * delta_orig[i,c,v],    p = slices @ points.T.
 #
-# a pure HBM-bound contraction — no sort, no gather in the step. At a refresh
-# step the permutation is fresh, so E and its gradient equal the exact path's
-# (whose custom VJP also treats the permutation as locally constant); between
-# refreshes the objective is the exact FSW of a slightly stale ordering.
-# Learnable frequencies stay trainable through the first-order term
-# (xi - stop_grad(xi)) * ddelta_dxi with ddelta_dxi precomputed by jvp at
+# Rounds 3-4 materialized delta_orig as a resident (n, C, V) plane and ran
+# that contraction every step. Round 5 collapses it further through the
+# LOOKUP's linearity: every shared point is a concatenation of lookup rows,
+# points[v] = concat_j lookup[digits[v, j]], so
+#
+#     p[c,v] = sum_j <v_c[j], lookup[digits[v,j]]>
+#     E[i,c] = sum_j sum_a S[i,c,j,a] * <v_c[j], lookup[a]>,
+#     S[i,c,j,a] = sum_{v : digits[v,j] = a} delta_orig[i,c,v]
+#
+# where v_c[j] is the j-th base_dim block of slice row c. S is (n, C, k, 4) —
+# V-INDEPENDENT (8.6 GB -> 2.4 MB at the k=9 regime), computed at refresh by
+# one MXU matmul of delta_orig against the one-hot digit-class matrix, and the
+# per-step forward is two tiny einsums instead of an HBM-bound (B, C, V)
+# contraction. At a refresh step the permutation is fresh, so E and its
+# gradient wrt slices AND lookup equal the exact path's (whose custom VJP also
+# treats the permutation as locally constant — the regrouped sums are
+# algebraically identical); between refreshes the objective is the exact FSW
+# of a slightly stale ordering. Learnable frequencies stay trainable through
+# the first-order term (xi - stop_grad(xi)) * g2 with g2 precomputed by jvp at
 # refresh: the forward value is untouched (the factor is exactly zero) while
-# autodiff reads off the exact d delta / d xi at the refresh point.
+# autodiff reads off the exact d E / d xi at the refresh point.
 #
-# Measured on v5e at (B=16, C=512, V=8192): exact span step 30.3 ms; lazy
-# step ~2.5 ms + amortized refresh (see bench.py fsw_lazy fields).
+# Measured on v5e at (B=16, C=512, V=8192): exact span step 30.3 ms; round-4
+# plane-based lazy step ~2.5 ms + amortized refresh (see bench.py fsw_lazy
+# fields; the compact plane removes the step's plane traffic entirely).
 
 
 def _f2i_keys(p):
@@ -320,35 +334,44 @@ def _cumsum_minor_matmul(x, block: int = 256):
     return out[..., :V] if pad else out
 
 
-def fsw_lazy_refresh(fsw_params, points, W, group: int = 8):
-    """Precompute (delta_orig (n, C, V), g2 (n, C)) for the lazy path.
+def fsw_lazy_refresh(fsw_params, points, digits, W, group: int = 8):
+    """Precompute (S (n, C, k, 4), g2 (n, C)) for the lazy path.
 
     points: (V, d_in) shared vocab points under the current lookup;
-    W: (n, V) nonnegative per-item vocab weights (rows of zeros allowed —
-    bucket padding items yield all-zero delta and embed to 0).
+    digits: (V, k) int base codes of the canonical vocab (points[v] =
+    concat_j lookup[digits[v, j]]); W: (n, V) nonnegative per-item vocab
+    weights (rows of zeros allowed — bucket padding items yield all-zero S
+    and embed to 0).
 
-    delta_orig carries the quantile coefficients in original vocab order;
+    S carries the quantile coefficients SEGMENT-SUMMED over digit classes
+    (see the module comment above): S[i, c, j, a] = sum over vocab entries
+    whose j-th base is a of delta_orig[i, c, v] — V-independent, so the
+    resident plane is (n, C, k, 4) f32 regardless of vocab size.
     g2[i, c] = sum_v ps[c, v] * (d delta / d xi_c)[i, c, v] is the
     frequencies' embedding gradient AT the refresh point, contracted in
     sorted order BEFORE the unsort (so the ddelta tensor is never
     materialized to HBM or unsorted). Between refreshes the freqs gradient
     therefore uses the refresh-point projections — the same first-order
-    staleness class as delta itself, and exact at a fresh permutation.
+    staleness class as S itself, and exact at a fresh permutation.
 
     Per group of up to `group` items (snapped to a divisor of n): one
     (1+G+1)-operand int-keyed sort of the shared projections carrying the G
     weight rows, the delta/ddelta elementwise block (ddelta via jvp wrt the
-    frequencies; the cumsum inside uses the blocked-matmul form), and one
-    (1+G)-operand unsort keyed by the permutation. The sort network's cost
-    is payload-traffic-bound (~45 GB/s measured on v5e), so the refresh
-    floor is ~64 MB of sort traffic per item at (C=512, V=8192) — amortize
-    it with refresh intervals of tens to hundreds of steps. Runs entirely
-    per-slice-row, so under a model-axis-sharded mesh each device refreshes
-    only its local slice rows with no collectives.
+    frequencies; the cumsum inside uses the blocked-matmul form), one
+    (1+G)-operand unsort keyed by the permutation, and one MXU matmul of
+    delta_orig against the (V, 4k) one-hot digit matrix. The sort network's
+    cost is payload-traffic-bound (~45 GB/s measured on v5e), so the
+    refresh floor is ~64 MB of sort traffic per item at (C=512, V=8192) —
+    amortize it with refresh intervals of tens to hundreds of steps. Runs
+    entirely per-slice-row, so under a model-axis-sharded mesh each device
+    refreshes only its local slice rows with no collectives; transients are
+    (group, C_local, V)-sized and bounded by the group size (see
+    train/fsw_lazy.py pick_refresh_group).
     """
     slices = fsw_params["slices"]
     freqs = fsw_params["freqs"]
     n, V = W.shape
+    k = digits.shape[1]
     group = min(group, n)
     while n % group:  # largest divisor of n at most `group` (trace-time)
         group -= 1
@@ -357,8 +380,13 @@ def fsw_lazy_refresh(fsw_params, points, W, group: int = 8):
     p = slices @ points.T  # (C, V)
     keys = _f2i_keys(p)
     iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+    # one-hot digit-class matrix (V, k*4): delta_orig @ D segment-sums the
+    # coefficients per (position, base) class on the MXU
+    onehot = (digits[:, :, None] == jnp.arange(4, dtype=digits.dtype)).astype(
+        jnp.float32
+    ).reshape(V, k * 4)
 
-    def group_fn(wg):  # (G, V) -> ((G, C, V), (G, C))
+    def group_fn(wg):  # (G, V) -> ((G, C, k, 4), (G, C))
         g = wg.shape[0]
         ops = (keys,) + tuple(
             jnp.broadcast_to(wg[i][None, :], p.shape) for i in range(g)
@@ -384,34 +412,45 @@ def fsw_lazy_refresh(fsw_params, points, W, group: int = 8):
             is_stable=False,
             num_keys=1,
         )
-        return jnp.stack(res2[1:]), g2
+        delta_orig = jnp.stack(res2[1:])  # (G, C, V), consumed immediately:
+        # HIGHEST precision — bf16 mantissas over up-to-V cancelling terms
+        # would break the refresh_steps=1 == exact-shared-path contract
+        s = jax.lax.dot_general(
+            delta_orig, onehot, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (G, C, k*4)
+        return s, g2
 
     if n == group:
-        d, g2 = group_fn(wn)
+        s, g2 = group_fn(wn)
     else:
-        d, g2 = jax.lax.map(group_fn, wn.reshape(n // group, group, V))
+        s, g2 = jax.lax.map(group_fn, wn.reshape(n // group, group, V))
     C = slices.shape[0]
-    return d.reshape(n, C, V), g2.reshape(n, C)
+    return s.reshape(n, C, k, 4), g2.reshape(n, C)
 
 
-def fsw_lazy_apply(params, delta, g2, vocab_digits, model_axis: str | None = None):
-    """Forward from a precomputed delta plane (B, C, V) in original vocab
-    order plus the refresh-point freqs-gradient matrix g2 (B, C) — rows of
+def fsw_lazy_apply(params, S, g2, model_axis: str | None = None):
+    """Forward from a precomputed compact plane S (B, C, k, 4) plus the
+    refresh-point freqs-gradient matrix g2 (B, C) — rows of
     fsw_lazy_refresh gathered per batch. Numerically equal to
     fsw_dist_embed_apply_shared at a fresh permutation (summation order
-    aside); between refreshes, exact FSW of the stale ordering. The
+    aside); between refreshes, exact FSW of the stale ordering. Gradients
+    wrt slices AND lookup flow through the proj einsum — exact at the
+    refresh point, same staleness class as S. The
     (freqs - stop_grad(freqs)) * g2 term is identically zero in the forward
     but hands autodiff the refresh-point d E / d xi."""
     freqs = params["fsw"]["freqs"]
-    V = delta.shape[-1]
-    points = params["lookup"][vocab_digits].reshape(V, -1)
-    p = params["fsw"]["slices"] @ points.T  # (C, V)
-    # HIGHEST precision: the default TPU matmul precision is bf16, whose
-    # ~8-bit mantissa over 8192 cancelling terms would break the
-    # refresh_steps=1 == exact-shared-path contract (the exact path reduces
-    # in full f32); the contraction is HBM-bound so this costs ~nothing
+    lookup = params["lookup"]  # (4, base_dim)
+    slices = params["fsw"]["slices"]  # (C, k*base_dim)
+    C, k = S.shape[1], S.shape[2]
+    vblocks = slices.reshape(C, k, lookup.shape[1])
+    # HIGHEST precision keeps the refresh_steps=1 == exact-shared-path
+    # contract; both einsums are tiny (V never appears), so it costs nothing
+    proj = jnp.einsum(
+        "ckd,ad->cka", vblocks, lookup, precision=jax.lax.Precision.HIGHEST
+    )  # (C, k, 4): <slice block j of row c, lookup row a>
     fsw_out = jnp.einsum(
-        "cv,bcv->bc", p, delta, precision=jax.lax.Precision.HIGHEST
+        "bcka,cka->bc", S, proj, precision=jax.lax.Precision.HIGHEST
     )  # (B, C)
     fsw_out = fsw_out + (freqs - jax.lax.stop_gradient(freqs))[None, :] * g2
     h = fsw_out @ params["fc1"]["w"]

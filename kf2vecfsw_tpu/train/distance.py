@@ -382,8 +382,8 @@ def _train_all(
                 log.info(
                     "FSW lazy-refresh "
                     + ("auto-check: " if lazy_auto else "requested but ")
-                    + "the delta plane exceeds the per-device HBM budget "
-                    "for this clade; using the exact shared path"
+                    + "the refresh sort transients exceed the per-device "
+                    "HBM budget for this clade; using the exact shared path"
                 )
         if use_lazy:
             log.info(

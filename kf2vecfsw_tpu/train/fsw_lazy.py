@@ -3,12 +3,13 @@
 Drop-in sibling of DistanceEpochRunner for the shared-vocab FSW family
 (models/fsw.py fsw_lazy_*): the per-step multi-operand sort + cumsum + trig
 over (B, C, V) tensors is replaced by a periodic in-span "refresh" that
-precomputes the per-item coefficient plane delta in original vocab order
-(plus the tiny refresh-point freqs-gradient matrix g2), leaving each
-training step a pure HBM-bound contraction
-E = sum_v p * delta. Refreshes happen every `refresh_steps` batch steps
-inside the jitted span (step counter starts at each span dispatch, so the
-first step of every span always refreshes — resume-safe without state).
+precomputes the per-item COMPACT coefficient plane S (n, C, k, 4) — the
+quantile coefficients segment-summed over digit classes, V-independent —
+plus the tiny refresh-point freqs-gradient matrix g2, leaving each training
+step two tiny einsums (see the lazy-path comment in models/fsw.py).
+Refreshes happen every `refresh_steps` batch steps inside the jitted span
+(step counter starts at each span dispatch, so the first step of every span
+always refreshes — resume-safe without state).
 
 refresh_steps=1 refreshes before every step and is numerically the exact
 shared path (summation order aside) — pinned by tests/test_fsw_lazy.py.
@@ -20,10 +21,14 @@ The refresh runs per-slice-row, so under a model-axis-sharded mesh each
 device refreshes only its local rows of (delta, gdelta) with no
 collectives; the planes are sharded P(None, 'model', None).
 
-Memory: one f32 (n_bucket, C, V) plane. The trainer gates this path by
-fsw_lazy_budget_bytes() and falls back to the exact shared runner when the
-clade exceeds it. Reference semantics: train_model_set.py:96 (same trainer
-surface); this path is a TPU-first acceleration behind -fsw_lazy_refresh.
+Memory: the resident S plane is (n_bucket, C, k, 4) f32 — a few MB at any
+k — so the binding constraint is the REFRESH's (group, C_local, V)-sized
+sort transients. pick_refresh_group() shrinks the group until one group's
+transients fit fsw_lazy_budget_bytes(); lazy_applicable() gates the path
+off only when even group=1 does not fit per device (model-axis sharding
+divides C_local, so a too-big single-device refresh re-fits on a sharded
+mesh). Reference semantics: train_model_set.py:96 (same trainer surface);
+this path is a TPU-first acceleration behind -fsw_lazy_refresh.
 """
 
 from __future__ import annotations
@@ -48,22 +53,42 @@ from .step import (
     shard_map,
 )
 
-# the f32 (n_bucket, C, V) delta plane must fit under this for the lazy
+# the refresh's per-group sort transients must fit under this for the lazy
 # path. Derived per-device (3/8 of HBM = the 6 GiB this was tuned at on a
-# 16 GiB v5e) so a 95 GiB v5p doesn't gate off k=9 single-chip when the
-# plane actually fits; resolved lazily so importing this module never
-# initializes the backend. Tests override via KF2VEC_HBM_BYTES.
+# 16 GiB v5e); resolved lazily so importing this module never initializes
+# the backend. Tests override via KF2VEC_HBM_BYTES.
 def fsw_lazy_budget_bytes() -> int:
     from ..utils.membudget import hbm_fraction
 
     return hbm_fraction(3, 8)
 
-# items per refresh sort group: the sort network's cost is payload-traffic
-# bound (~45 GB/s measured), so larger groups only amortize the ~20% key
-# overhead while multi-dozen-operand sorts can hang the compiler — 8 is the
-# measured sweet spot (must divide every item bucket; buckets are multiples
-# of 8, step.bucket_items)
+# max items per refresh sort group: the sort network's cost is payload-
+# traffic bound (~45 GB/s measured), so larger groups only amortize the
+# ~20% key overhead while multi-dozen-operand sorts can hang the compiler —
+# 8 is the measured sweet spot (must divide every item bucket; buckets are
+# multiples of 8, step.bucket_items). pick_refresh_group halves it until
+# one group's transients fit the per-device budget.
 REFRESH_GROUP = 8
+
+
+def refresh_transient_bytes(d_local: int, vocab: int, group: int) -> int:
+    """Worst-stage live set of one refresh group (models/fsw.py
+    fsw_lazy_refresh): the (G+2)-operand sort's inputs+outputs overlap with
+    the jvp's delta+gdelta and the (1+G)-operand unsort — budget ~(3G+4)
+    f32 buffers of (d_local, vocab)."""
+    return 4 * (3 * group + 4) * d_local * vocab
+
+
+def pick_refresh_group(d_out: int, vocab: int, n_model: int = 1) -> int:
+    """Largest refresh group (<= REFRESH_GROUP, halving) whose transients
+    fit the per-device budget; 0 when even group=1 does not fit."""
+    d_local = -(-d_out // max(n_model, 1))
+    g = REFRESH_GROUP
+    while g >= 1:
+        if refresh_transient_bytes(d_local, vocab, g) <= fsw_lazy_budget_bytes():
+            return g
+        g //= 2
+    return 0
 
 
 def lazy_applicable(
@@ -73,17 +98,15 @@ def lazy_applicable(
     double_buffered: bool = False,
     n_model: int = 1,
 ) -> bool:
-    """Budget check is PER DEVICE: the delta plane is sharded
-    P(None, 'model', None), so a model-axis mesh of n_model chips holds
-    d_out/n_model slice rows each — a plane too big for one chip (e.g. the
-    k=9 regime at V=131072) re-fits on a sharded mesh.
-
-    double_buffered: the fine-grained per-step-cond core (engaged when
-    refresh_steps < steps-per-epoch) copies the delta plane through the scan
-    carry, so its peak holds TWO planes."""
-    planes = 2 if double_buffered else 1
-    d_local = -(-d_out // max(n_model, 1))
-    return planes * 4 * n_bucket * d_local * vocab <= fsw_lazy_budget_bytes()
+    """Budget check is PER DEVICE: slice rows (and so the refresh work and
+    the S plane) are sharded over the model axis, so a refresh whose
+    transients exceed one chip (e.g. giant-vocab regimes) re-fits on a
+    sharded mesh. The resident S plane is (n_bucket, C, k, 4) — a few MB at
+    any k — so the gate is ONLY the refresh transients now; n_bucket and
+    double_buffered no longer bind (kept in the signature for the trainer's
+    call shape)."""
+    del n_bucket, double_buffered
+    return pick_refresh_group(d_out, vocab, n_model) > 0
 
 
 class FSWLazyEpochRunner(DistanceEpochRunner):
@@ -119,7 +142,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             weight_offset=weight_offset,
             donate=donate,
         )
-        dspec = P(None, MODEL_AXIS, None)
+        dspec = P(None, MODEL_AXIS, None, None)
         self._dspec = dspec
         in_specs = (
             param_specs,
@@ -129,7 +152,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             P(),  # idx
             P(),  # mask
             P(),  # lr
-            dspec,  # delta
+            dspec,  # S (n_bucket, C, k, 4) compact plane
             P(None, MODEL_AXIS),  # g2 (refresh-point freqs gradient)
             P(),  # step0
         )
@@ -176,18 +199,22 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
 
     def _refresh_core(self, params, W):
         points = params["lookup"][self._digits].reshape(W.shape[1], -1)
-        return fsw_lazy_refresh(params["fsw"], points, W, group=REFRESH_GROUP)
+        # slices are already LOCAL rows under shard_map, so size the group
+        # by the local shape directly (n_model=1)
+        g = pick_refresh_group(params["fsw"]["slices"].shape[0], W.shape[1]) or 1
+        return fsw_lazy_refresh(params["fsw"], points, self._digits, W, group=g)
 
     # -- lazy core (per-device under shard_map) -------------------------------
     @staticmethod
     def _take_planes(planes, lidx, n):
         """Batch-row gather planes[lidx] as n explicit dynamic slices.
 
-        `planes[lidx]` (an XLA gather) lowers on TPU to a full sweep over the
-        ENTIRE (n_bucket, C, V) operand per step (measured 7.8 ms/step at
-        2.5 GB planes — the whole tensor is read to select 16 rows);
-        per-row dynamic_slice_in_dim lowers to contiguous row copies
-        (~0.3 ms for the same batch)."""
+        `planes[lidx]` (an XLA gather) lowers on TPU to a full sweep over
+        the ENTIRE first-axis operand per step (measured 7.8 ms/step when
+        the plane was the round-4 2.5 GB (n, C, V) one — the whole tensor is
+        read to select 16 rows); per-row dynamic_slice_in_dim lowers to
+        contiguous row copies. The compact (n, C, k, 4) plane makes either
+        form cheap, but the slice form stays strictly better."""
         rows = [
             jax.lax.dynamic_slice_in_dim(planes, lidx[i], 1, axis=0)
             for i in range(n)
@@ -195,7 +222,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         return jnp.concatenate(rows, axis=0)
 
     def _plane_batch_step(self, params, opt, delta, g2, dist, idx, mask, lr):
-        """One batch step against given (delta, g2): shared by the cond and
+        """One batch step against given (S, g2): shared by the cond and
         cond-free epoch cores."""
         my_d = jax.lax.axis_index(DATA_AXIS)
         lidx = jax.lax.dynamic_slice(idx, (my_d * self.local_b,), (self.local_b,))
@@ -210,8 +237,8 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         return params, opt, jnp.where(active, loss, 0.0), jnp.sum(mask)
 
     def _lazy_batch_loss(self, params, db, gb, dist, idx, mask):
-        # db: (Bl, C_local, V) delta planes; gb: (Bl, C_local) g2 rows
-        e_local = fsw_lazy_apply(params, db, gb, self._digits, model_axis=MODEL_AXIS)
+        # db: (Bl, C_local, k, 4) compact planes; gb: (Bl, C_local) g2 rows
+        e_local = fsw_lazy_apply(params, db, gb, model_axis=MODEL_AXIS)
         emb = jax.lax.all_gather(e_local, DATA_AXIS, axis=0, tiled=True)
         model_dist = pairwise_l2_exact(emb)
         true_dist = dist[jnp.ix_(idx, idx)]
@@ -228,7 +255,8 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
 
             def do_refresh(p):
                 points = p["lookup"][digits].reshape(W.shape[1], -1)
-                return fsw_lazy_refresh(p["fsw"], points, W, group=REFRESH_GROUP)
+                g = pick_refresh_group(p["fsw"]["slices"].shape[0], W.shape[1]) or 1
+                return fsw_lazy_refresh(p["fsw"], points, digits, W, group=g)
 
             delta, gdelta = jax.lax.cond(
                 step % R == 0, do_refresh, lambda p: (delta, gdelta), params
@@ -267,9 +295,9 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
     # -- jitted entry points ---------------------------------------------------
     def _zero_planes(self, params):
         d_out = params["fsw"]["slices"].shape[0]
-        V = self._digits.shape[0]
+        k = self._digits.shape[1]
         delta = jax.lax.with_sharding_constraint(
-            jnp.zeros((self.n_bucket, d_out, V), jnp.float32),
+            jnp.zeros((self.n_bucket, d_out, k, 4), jnp.float32),
             NamedSharding(self.mesh, self._dspec),
         )
         g2 = jax.lax.with_sharding_constraint(
