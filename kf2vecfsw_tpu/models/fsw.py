@@ -429,6 +429,80 @@ def fsw_lazy_refresh(fsw_params, points, digits, W, group: int = 8):
     return s.reshape(n, C, k, 4), g2.reshape(n, C)
 
 
+def fsw_lazy_refresh_pergenome(fsw_params, lookup, X, group: int = 4):
+    """Per-genome lazy refresh: (S (n, C, k, 4), g2 (n, C)) from padded
+    point-set tensors X (n, N, k+1) — the non-shared-vocab regime (short
+    contigs, sparse clades, k > 9) where every genome owns its point matrix.
+
+    Freezes each genome's OWN sort order: per item, project its points
+    (points_i = lookup[kmers_i], p_i = slices @ points_i.T), sort with the
+    weights riding (one 3-operand (C, N) int-keyed sort — the per-genome
+    analogue of the shared path's one (B+2)-operand sort), build
+    delta/ddelta, unsort, and segment-sum against the item's own one-hot
+    digit matrix. The compact S collapse (see the lazy-path comment above)
+    holds per genome because points_i is still a concatenation of lookup
+    rows — S[i,c,j,a] sums delta over the item's points whose j-th base is
+    a. Zero-weight padding rows contribute exactly 0 to S and g2 (delta
+    carries a ws factor); all-zero padding ITEMS yield S=0 rows that embed
+    to the MLP bias, matching the exact path.
+
+    The returned (S, g2) feed the SAME fsw_lazy_apply as the shared path.
+    Gradient contract: outputs are refresh-point data (stop_grad at the
+    caller), exactly as fsw_lazy_refresh.
+    """
+    slices = fsw_params["slices"]
+    freqs = fsw_params["freqs"]
+    n, N, kp1 = X.shape
+    k = kp1 - 1
+    group = min(group, n)
+    while n % group:  # largest divisor of n at most `group` (trace-time)
+        group -= 1
+    kmers = X[..., :k].astype(jnp.int32)  # (n, N, k)
+    w = X[..., -1]
+    total = jnp.maximum(w.sum(axis=-1, keepdims=True), 1e-30)
+    wn = w / total  # (n, N)
+
+    def item_fn(km, wi):  # (N, k), (N,) -> ((C, k, 4), (C,))
+        points = lookup[km].reshape(N, -1)  # (N, d_in)
+        p = slices @ points.T  # (C, N)
+        iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+        wb = jnp.broadcast_to(wi[None, :], p.shape)
+        ks, ws, perm = jax.lax.sort(
+            (_f2i_keys(p), wb, iota), dimension=-1, is_stable=False, num_keys=1
+        )
+        ps = _i2f_keys(ks)
+
+        def delta_of_xi(xi):
+            cs = _cumsum_minor_matmul(ws)
+            cbar = cs - ws / 2.0
+            x = xi[:, None]
+            return _SQRT2 * ws * jnp.cos(jnp.pi * x * cbar) * jnp.sinc(x * ws / 2.0)
+
+        delta, gdelta = jax.jvp(delta_of_xi, (freqs,), (jnp.ones_like(freqs),))
+        g2 = jnp.sum(ps * gdelta, axis=-1)  # (C,)
+        _, delta_orig = jax.lax.sort(
+            (perm, delta), dimension=-1, is_stable=False, num_keys=1
+        )
+        onehot = (km[:, :, None] == jnp.arange(4, dtype=km.dtype)).astype(
+            jnp.float32
+        ).reshape(N, k * 4)
+        s = jax.lax.dot_general(
+            delta_orig, onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (C, k*4)
+        return s, g2
+
+    if n == group:
+        s, g2 = jax.vmap(item_fn)(kmers, wn)
+    else:
+        s, g2 = jax.lax.map(
+            lambda args: jax.vmap(item_fn)(*args),
+            (kmers.reshape(n // group, group, N, k), wn.reshape(n // group, group, N)),
+        )
+    C = slices.shape[0]
+    return s.reshape(n, C, k, 4), g2.reshape(n, C)
+
+
 def fsw_lazy_apply(params, S, g2, model_axis: str | None = None):
     """Forward from a precomputed compact plane S (B, C, k, 4) plus the
     refresh-point freqs-gradient matrix g2 (B, C) — rows of

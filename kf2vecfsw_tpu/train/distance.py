@@ -368,10 +368,17 @@ def _train_all(
             defaults.FSW_LAZY_AUTO_REFRESH if lazy_auto else fsw_lazy_refresh
         )
         use_lazy = False
-        if use_fsw and fsw_shared and lazy_refresh > 0:
-            from .fsw_lazy import FSWLazyEpochRunner, lazy_applicable
+        if use_fsw and lazy_refresh > 0:
+            from .fsw_lazy import (
+                FSWLazyEpochRunner,
+                FSWLazyPerGenomeRunner,
+                lazy_applicable,
+            )
             from .step import bucket_items
 
+            # train_feats' minor length is V (shared-vocab weights) or N
+            # (padded per-genome point sets) — the refresh transient scales
+            # with it either way
             nb = bucket_items(max(len(train_idx), 1))
             use_lazy = lazy_applicable(
                 nb, fswout_dim, train_feats.shape[1],
@@ -383,12 +390,15 @@ def _train_all(
                     "FSW lazy-refresh "
                     + ("auto-check: " if lazy_auto else "requested but ")
                     + "the refresh sort transients exceed the per-device "
-                    "HBM budget for this clade; using the exact shared path"
+                    "HBM budget for this clade; using the exact "
+                    + ("shared" if fsw_shared else "per-genome")
+                    + " path"
                 )
         if use_lazy:
             log.info(
-                f"FSW lazy sort-refresh path: refresh every {lazy_refresh} "
-                f"steps"
+                "FSW lazy sort-refresh path"
+                + ("" if fsw_shared else " (per-genome sort orders)")
+                + f": refresh every {lazy_refresh} steps"
                 + (
                     " (auto-enabled; pass -fsw_lazy_refresh 0 for the exact "
                     "per-step sort)"
@@ -396,7 +406,8 @@ def _train_all(
                     else ""
                 )
             )
-            runner = FSWLazyEpochRunner(
+            runner_cls = FSWLazyEpochRunner if fsw_shared else FSWLazyPerGenomeRunner
+            runner = runner_cls(
                 mesh, input_size - 1, specs, len(train_idx), batch_size,
                 refresh_steps=lazy_refresh, donate=True,
             )

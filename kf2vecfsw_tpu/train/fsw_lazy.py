@@ -38,7 +38,12 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..models.fsw import fsw_lazy_apply, fsw_lazy_refresh, make_fsw_shared_apply
+from ..models.fsw import (
+    fsw_lazy_apply,
+    fsw_lazy_refresh,
+    fsw_lazy_refresh_pergenome,
+    make_fsw_shared_apply,
+)
 from ..ops.losses import weighted_sqrt_mse
 from ..ops.pairwise import pairwise_l2_exact
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -129,13 +134,12 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         weight_offset: float = 1e-6,
         donate: bool = False,
     ):
-        from ..models.fsw import _vocab_digits_dev
-
         self.refresh_steps = max(1, int(refresh_steps))
-        self._digits = _vocab_digits_dev(k)  # (V, k) closure constant
+        self._k = k
+        self._init_digits(k)
         super().__init__(
             mesh,
-            make_fsw_shared_apply(k),  # exact path: eval_loss only
+            self._exact_apply_fn(k),  # exact path: eval_loss only
             param_specs,
             n_items,
             batch_size,
@@ -197,12 +201,24 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         self._refresh_jit = jax.jit(self._refresh_sharded)
         self._run_cached = jax.jit(self._lazy_run_cached_impl, donate_argnums=donate_args)
 
-    def _refresh_core(self, params, W):
-        points = params["lookup"][self._digits].reshape(W.shape[1], -1)
+    # -- refresh hooks (overridden by the per-genome subclass) ----------------
+    def _init_digits(self, k: int) -> None:
+        from ..models.fsw import _vocab_digits_dev
+
+        self._digits = _vocab_digits_dev(k)  # (V, k) closure constant
+
+    def _exact_apply_fn(self, k: int):
+        return make_fsw_shared_apply(k)
+
+    def _refresh_impl(self, params, feats):
+        points = params["lookup"][self._digits].reshape(feats.shape[1], -1)
         # slices are already LOCAL rows under shard_map, so size the group
         # by the local shape directly (n_model=1)
-        g = pick_refresh_group(params["fsw"]["slices"].shape[0], W.shape[1]) or 1
-        return fsw_lazy_refresh(params["fsw"], points, self._digits, W, group=g)
+        g = pick_refresh_group(params["fsw"]["slices"].shape[0], feats.shape[1]) or 1
+        return fsw_lazy_refresh(params["fsw"], points, self._digits, feats, group=g)
+
+    def _refresh_core(self, params, W):
+        return self._refresh_impl(params, W)
 
     # -- lazy core (per-device under shard_map) -------------------------------
     @staticmethod
@@ -246,7 +262,6 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
         return weighted_sqrt_mse(model_dist, true_dist, pair_mask, self.weight_offset)
 
     def _lazy_epoch_core(self, params, opt, W, dist, idx_all, mask_all, lr, delta, gdelta, step0):
-        digits = self._digits
         R = self.refresh_steps
 
         def batch_step(carry, inp):
@@ -254,9 +269,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             idx, mask = inp
 
             def do_refresh(p):
-                points = p["lookup"][digits].reshape(W.shape[1], -1)
-                g = pick_refresh_group(p["fsw"]["slices"].shape[0], W.shape[1]) or 1
-                return fsw_lazy_refresh(p["fsw"], points, digits, W, group=g)
+                return self._refresh_impl(p, W)
 
             delta, gdelta = jax.lax.cond(
                 step % R == 0, do_refresh, lambda p: (delta, gdelta), params
@@ -295,7 +308,7 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
     # -- jitted entry points ---------------------------------------------------
     def _zero_planes(self, params):
         d_out = params["fsw"]["slices"].shape[0]
-        k = self._digits.shape[1]
+        k = self._k
         delta = jax.lax.with_sharding_constraint(
             jnp.zeros((self.n_bucket, d_out, k, 4), jnp.float32),
             NamedSharding(self.mesh, self._dspec),
@@ -432,3 +445,36 @@ class FSWLazyEpochRunner(DistanceEpochRunner):
             block_body, carry, jnp.arange(n_blocks)
         )
         return params, opt, (bp, lo, be), losses.reshape(span)
+
+
+class FSWLazyPerGenomeRunner(FSWLazyEpochRunner):
+    """Per-genome lazy FSW runner (VERDICT r4 item 8): the non-shared-vocab
+    regime — short contigs, sparse clades, k > 9 — where each genome owns
+    its point matrix and the trainer's features are the padded (n, N, k+1)
+    tensors of models/fsw.py:fsw_dist_embed_apply.
+
+    The refresh freezes each genome's OWN sort order
+    (fsw_lazy_refresh_pergenome: one 3-operand (C, N) int-keyed sort per
+    item instead of the shared path's one (B+2)-operand sort) and emits the
+    SAME compact (n, C, k, 4) S plane, so every step core, span structure,
+    cadence rule and sharding of the shared runner is inherited unchanged.
+    Holdout evaluation uses the exact per-genome forward. refresh_steps=1
+    equals the exact per-genome path (summation order aside) — pinned by
+    tests/test_fsw_lazy.py."""
+
+    def _init_digits(self, k: int) -> None:
+        # no shared-vocab digit matrix: each item carries its own k-mer
+        # codes inside the feature tensor (and at k > 9 the canonical
+        # matrix would be GBs)
+        self._digits = None
+
+    def _exact_apply_fn(self, k: int):
+        from ..models.fsw import fsw_dist_embed_apply
+
+        return fsw_dist_embed_apply
+
+    def _refresh_impl(self, params, X):
+        g = pick_refresh_group(params["fsw"]["slices"].shape[0], X.shape[1]) or 1
+        return fsw_lazy_refresh_pergenome(
+            params["fsw"], params["lookup"], X, group=g
+        )

@@ -387,3 +387,160 @@ def test_lazy_auto_falls_back_when_over_budget(tmp_path, monkeypatch):
     log = _trainer_log(out_dir)
     assert "FSW lazy sort-refresh path" not in log
     assert "auto-check" in log
+
+
+# -- per-genome lazy (VERDICT r4 item 8) --------------------------------------
+
+def _pergenome_setup(n_items=8, N=40, seed=2):
+    """Padded (n, N, K+1) point sets with per-item sizes (zero-weight
+    padding rows) and arbitrary (non-canonical) k-mer codes."""
+    rng = np.random.default_rng(seed)
+    X = np.zeros((n_items, N, K + 1), np.float32)
+    for i in range(n_items):
+        n_pts = int(rng.integers(N // 2, N + 1))
+        X[i, :n_pts, :K] = rng.integers(0, 4, size=(n_pts, K))
+        X[i, :n_pts, K] = rng.random(n_pts) + 0.05
+    params = fswmod.init_fsw_dist_embed(
+        jax.random.PRNGKey(5), K, BASE_DIM, FSWOUT, H, E
+    )
+    return jnp.asarray(X), params
+
+
+def test_pergenome_lazy_matches_exact_at_fresh_perm():
+    """fsw_lazy_refresh_pergenome + the SAME compact fsw_lazy_apply equal
+    the exact per-genome forward (and its parameter gradients) at a fresh
+    permutation — the same contract the shared path pins."""
+    X, params = _pergenome_setup()
+
+    S, g2 = fswmod.fsw_lazy_refresh_pergenome(
+        params["fsw"], params["lookup"], X, group=4
+    )
+    assert S.shape == (X.shape[0], FSWOUT, K, 4)  # V/N-independent plane
+    out_lazy = fswmod.fsw_lazy_apply(params, S, g2)
+    out_ex = fswmod.fsw_dist_embed_apply(params, X)
+    assert np.allclose(np.asarray(out_lazy), np.asarray(out_ex), atol=1e-4), (
+        np.abs(np.asarray(out_lazy) - np.asarray(out_ex)).max()
+    )
+
+    def loss_lazy(p):
+        s, gd = jax.lax.stop_gradient(
+            fswmod.fsw_lazy_refresh_pergenome(p["fsw"], p["lookup"], X, group=4)
+        )
+        return jnp.sum(fswmod.fsw_lazy_apply(p, s, gd) ** 2)
+
+    def loss_ex(p):
+        return jnp.sum(fswmod.fsw_dist_embed_apply(p, X) ** 2)
+
+    g_lazy = jax.tree.flatten(jax.grad(loss_lazy)(params))[0]
+    g_ex = jax.tree.flatten(jax.grad(loss_ex)(params))[0]
+    for a, b in zip(g_lazy, g_ex):
+        scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3 * scale), (
+            np.abs(np.asarray(a) - np.asarray(b)).max(), scale,
+        )
+
+
+def test_pergenome_runner_refresh1_equals_exact_runner():
+    X, params0 = _pergenome_setup()
+    dist = _dist_for(8)
+    mesh = make_mesh(1, 1)
+    specs = fswmod.fsw_dist_embed_specs(MODEL_AXIS)
+    params = shard_params(params0, specs, mesh)
+    key = jax.random.PRNGKey(11)
+
+    from kf2vecfsw_tpu.train.fsw_lazy import FSWLazyPerGenomeRunner
+
+    exact = DistanceEpochRunner(
+        mesh, fswmod.fsw_dist_embed_apply, specs, 8, 4
+    )
+    lazy = FSWLazyPerGenomeRunner(mesh, K, specs, 8, 4, refresh_steps=1)
+    losses_e = _run_span(exact, params, adam_init(params), X, dist, key)
+    losses_l = _run_span(lazy, params, adam_init(params), X, dist, key)
+    assert np.allclose(losses_e, losses_l, rtol=1e-4, atol=1e-6), (
+        losses_e, losses_l,
+    )
+
+
+def test_pergenome_runner_stale_refresh_descends_and_mesh_invariant():
+    X, params0 = _pergenome_setup(seed=9)
+    dist = _dist_for(8, seed=9)
+    specs = fswmod.fsw_dist_embed_specs(MODEL_AXIS)
+    key = jax.random.PRNGKey(2)
+
+    from kf2vecfsw_tpu.train.fsw_lazy import FSWLazyPerGenomeRunner
+
+    mesh1 = make_mesh(1, 1)
+    p1 = shard_params(params0, specs, mesh1)
+    lazy1 = FSWLazyPerGenomeRunner(mesh1, K, specs, 8, 4, refresh_steps=4)
+    losses = _run_span(lazy1, p1, adam_init(p1), X, dist, key, span=8)
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+    mesh2 = make_mesh(2, 4)
+    p2 = shard_params(params0, specs, mesh2)
+    lazy2 = FSWLazyPerGenomeRunner(mesh2, K, specs, 8, 4, refresh_steps=4)
+    got = _run_span(lazy2, p2, adam_init(p2), X, dist, key, span=8)
+    assert np.allclose(losses, got, rtol=1e-2), (losses, got)
+
+
+def test_pergenome_lazy_trainer_cli_surface(tmp_path):
+    """Small point sets keep the shared-vocab gate OFF, so the trainer must
+    engage the PER-GENOME lazy runner (the round-5 extension of the auto
+    path) and still export a queryable NeuralNetFSW checkpoint."""
+    import os
+
+    from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+    from kf2vecfsw_tpu.train.distance import train_model_set_func
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    rng = np.random.default_rng(0)
+    n = 6
+    names = [f"g{i}" for i in range(n)]
+    feat_dir = tmp_path / "feats"
+    out_dir = tmp_path / "models"
+    dist_dir = tmp_path / "dist"
+    for d in (feat_dir, out_dir, dist_dir):
+        os.makedirs(d)
+    files = []
+    for nm in names:
+        n_pts = int(rng.integers(4, 9))  # N <= 8 < V/3: per-genome path
+        mat = np.concatenate(
+            [
+                rng.integers(0, 4, size=(n_pts, K)).astype(np.float32),
+                rng.random((n_pts, 1)).astype(np.float32),
+            ],
+            axis=1,
+        )
+        p = str(feat_dir / f"{nm}.npy")
+        np.save(p, mat)
+        files.append(p)
+    with open(tmp_path / "subtrees.csv", "w") as f:
+        for nm in names:
+            f.write(f"{nm}\t0\n")
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0.0)
+    write_di_mtrx(str(dist_dir / "true_distance_matrix_subtree_0.di_mtrx"), names, d)
+
+    saved = train_model_set_func(
+        str(feat_dir), files, str(tmp_path / "subtrees.csv"), str(dist_dir),
+        num_epochs=4, hidden_size=16, embedding_size=8, batch_size=4,
+        lr0=1e-3, lr_min=1e-4, lr_decay=2000.0, clades_to_train=None, seed=1,
+        model_filepath=str(out_dir), base_dim=BASE_DIM, fswout_dim=FSWOUT,
+        fsw_lazy_refresh=2,
+    )
+    assert saved and os.path.exists(saved[0])
+    name, meta, params = load_checkpoint(saved[0])
+    assert name == "NeuralNetFSW"
+    logs = [f for f in os.listdir(out_dir) if f.endswith(".log")]
+    text = "".join(open(os.path.join(out_dir, f)).read() for f in logs)
+    assert "per-genome sort orders" in text  # the per-genome runner engaged
+    X = np.concatenate(
+        [
+            rng.integers(0, 4, size=(5, K)).astype(np.float32),
+            rng.random((5, 1)).astype(np.float32),
+        ],
+        axis=1,
+    )
+    emb = fswmod.fsw_dist_embed_apply(jax.device_put(params), jnp.asarray(X[None]))
+    assert np.isfinite(np.asarray(emb)).all()
