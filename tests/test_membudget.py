@@ -51,15 +51,22 @@ def test_unknown_kind_falls_back_conservatively(monkeypatch):
     assert membudget.device_hbm_bytes(_FakeDevice("", platform="cpu")) == 16 << 30
 
 
-@pytest.mark.parametrize("gib,expect_fits", [(16, False), (96, True)])
-def test_lazy_gate_scales_with_device(monkeypatch, gib, expect_fits):
-    """The k=9-regime delta plane (n=32, C=512, V=131072 -> 8.6 GB) is over
-    budget on a 16 GiB part but fits single-chip once the device grows: a
-    95 GiB v5p-sized part must re-enable the lazy path without sharding."""
-    from kf2vecfsw_tpu.train.fsw_lazy import lazy_applicable
+@pytest.mark.parametrize("gib,min_group", [(2, 0), (16, 2), (96, 8)])
+def test_lazy_gate_scales_with_device(monkeypatch, gib, min_group):
+    """Round 5's compact S plane is V-independent, so the k=9 regime
+    (C=512, V=131072) fits a 16 GiB part single-chip — the gate scales the
+    REFRESH group with the device instead: a bigger part sorts more items
+    per refresh dispatch, a tiny mocked part gates the path off entirely."""
+    from kf2vecfsw_tpu.train.fsw_lazy import lazy_applicable, pick_refresh_group
 
     monkeypatch.setenv("KF2VEC_HBM_BYTES", str(gib << 30))
-    assert lazy_applicable(32, 512, 131072, n_model=1) is expect_fits
+    g = pick_refresh_group(512, 131072, n_model=1)
+    if min_group == 0:
+        assert g == 0
+        assert lazy_applicable(32, 512, 131072, n_model=1) is False
+    else:
+        assert g >= min_group
+        assert lazy_applicable(32, 512, 131072, n_model=1) is True
 
 
 @pytest.mark.parametrize("gib", [16, 96])
