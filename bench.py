@@ -211,6 +211,43 @@ def bench_fsw() -> dict:
         dt9 = min(dt9, time.perf_counter() - t0)
     k9_step_ms = 1e3 * dt9 / (2 * runner9.n_batches)
 
+    # PER-GENOME regime (round 5): short-contig/sparse clades where the
+    # shared-vocab gate is off — n=32 point sets of N=16384, each genome
+    # its own sort order. Exact span vs the per-genome lazy runner
+    # (fsw_lazy_refresh_pergenome feeding the same compact S apply).
+    from kf2vecfsw_tpu.train.fsw_lazy import FSWLazyPerGenomeRunner
+
+    npg, Npg = 32, 16384
+    rng = np.random.default_rng(3)
+    Xpg = np.zeros((npg, Npg, k + 1), np.float32)
+    Xpg[..., :k] = rng.integers(0, 4, size=(npg, Npg, k))
+    Xpg[..., k] = rng.random((npg, Npg)) + 0.01
+    Xpg = jnp.asarray(Xpg)
+    dpg = np.abs(rng.normal(size=(npg, npg))).astype(np.float32)
+    dpg = dpg + dpg.T
+    np.fill_diagonal(dpg, 0.0)
+    dpg = jnp.asarray(dpg)
+
+    def pg_rate(runner, span):
+        p = jax.tree.map(jnp.copy, params0)
+        opt = adam_init(p)
+        best = (jax.tree.map(jnp.copy, p), jnp.float32(np.inf), jnp.int32(-1))
+        Xp, dp = runner.pad_items(Xpg), runner.pad_dist(dpg)
+        p, opt, best, l = runner.run_epoch_span(p, opt, best, Xp, dp, key, 0, span, lr_args)
+        np.asarray(l)  # warm / compile
+        dt = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            p, opt, best, l = runner.run_epoch_span(
+                p, opt, best, Xp, dp, key, span * (1 + i), span, lr_args
+            )
+            np.asarray(l)
+            dt = min(dt, time.perf_counter() - t0)
+        return span * runner.n_batches / dt
+
+    pg_exact = pg_rate(DistanceEpochRunner(mesh, fsw_dist_embed_apply, specs, npg, B), 4)
+    pg_lazy = pg_rate(FSWLazyPerGenomeRunner(mesh, k, specs, npg, B, refresh_steps=128), 32)
+
     # k=9 LAZY: the compact (n, C, k, 4) S plane (round 5) made the lazy
     # path applicable at k=9 on ONE chip (the round-4 resident (n, C, V)
     # plane was 8.6 GB and gated it off) — what -fsw_lazy_refresh auto users
@@ -242,6 +279,8 @@ def bench_fsw() -> dict:
         "fsw_pergenome_step_dispatch_ms": round(best * 1e3, 2),
         "fsw_k9_exact_step_ms": round(k9_step_ms, 1),
         "fsw_k9_lazy_steps_per_s": round(k9_lazy_steps, 2),
+        "fsw_pergenome_exact_steps_per_s": round(pg_exact, 2),
+        "fsw_pergenome_lazy_steps_per_s": round(pg_lazy, 2),
     }
 
 

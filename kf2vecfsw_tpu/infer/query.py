@@ -33,11 +33,20 @@ from ..utils.timing import hms
 def _make_qstep(apply_fn):
     # ONE jitted dispatch per block: forward + cdist + square/clamp fused,
     # defined at module level so the in-process executable cache survives
-    # across query_func calls (a fresh jit(lambda) per call re-traces)
+    # across query_func calls (a fresh jit(lambda) per call re-traces).
+    # Embeddings and distances return FUSED into one (rows, E + anchors)
+    # array: each separate np.asarray fetch costs a full tunnel round trip
+    # (~29 ms on this rig), so two fetches per block across a 10-subtree
+    # placement was 20 serial RTTs — one fused fetch halves that, and
+    # copy_to_host_async (below) overlaps the rest.
+    import jax.numpy as jnp
+
     @jax.jit
     def qstep(params, x, anchors):
         out = apply_fn(params, x)
-        return out, squared_clamped(cdist_exact_blocked(out, anchors))
+        return jnp.concatenate(
+            [out, squared_clamped(cdist_exact_blocked(out, anchors))], axis=1
+        )
 
     return qstep
 
@@ -122,70 +131,105 @@ def query_func(
         # gathers by tiny int32 index vectors). None -> per-block host path.
         qmat = cached_query_matrix(feature_files)
 
-        for c in clades:
-            contig_ids = [g for g, cl in assignments if cl == c]
-            if not contig_ids:
-                continue
-            log.info(f"\n==> Working on subtree {c} ({len(contig_ids)} contigs)...\n")
+        # three-stage pipeline (reference query.py:148-189 runs
+        # read -> forward -> format strictly serially): a background thread
+        # parses block z+1 while the device runs block z, and block z-1 is
+        # formatted/written BETWEEN dispatching z and fetching z — JAX
+        # dispatch is async, so the host text work overlaps the device
+        # forward+cdist instead of serializing. The pending block carries
+        # ACROSS clades too (round 5): the common placement shape is many
+        # subtrees x one small block each, where per-clade draining turned
+        # every fetch into a serial tunnel round trip (measured 770 ms of a
+        # 840 ms warm 10-subtree placement) — overlapping each clade's fetch
+        # with the next clade's dispatch leaves ~one RTT total.
+        from collections import deque
 
-            # device-resident LRU: the ~76 MB subtree model and the anchor
-            # matrix transfer once per process, not once per call (the
-            # round-3 e2e regression was exactly this retransfer: ~5.8 s of
-            # a 9.1 s serve was params crossing a 37 MB/s link)
-            with phases.phase("model_load"):
-                model_name, meta, params = cached_checkpoint(
-                    os.path.join(model_dir, f"model_subtree_{c}.ckpt")
+        open_files: dict[int, tuple] = {}  # c -> (f_dist, f_emb)
+        # in-flight dispatched blocks, written PIPE_DEPTH dispatches behind:
+        # each entry's copy_to_host_async was issued at dispatch, so by the
+        # time a block is written its D2H round trip has been overlapping
+        # the newer blocks' dispatches — one RTT total instead of one per
+        # block (items: (c, labels, fused_dev, real, e_dim, emb_names, last?))
+        PIPE_DEPTH = 4
+        pending: deque = deque()
+
+        def _write_out(pend):
+            c, labels, fused_dev, real, e_dim, emb_names, is_last = pend
+            f_dist, f_emb = open_files[c]
+            with phases.phase("fetch"):
+                fused = np.asarray(fused_dev)
+                outputs = fused[:real, :e_dim]
+                # crop anchor columns: emb_dev rows are bucket-padded
+                # (one compiled qstep per bucket, not per subtree)
+                d = fused[:real, e_dim : e_dim + len(emb_names)]
+            with phases.phase("format"):
+                for lbl, drow in zip(labels, d):
+                    f_dist.write(lbl + "\t" + f32_row(drow))
+                for lbl, erow in zip(labels, outputs):
+                    f_emb.write(lbl + "\t" + f32_row(erow))
+            if is_last:
+                f_dist.close()
+                f_emb.close()
+                del open_files[c]
+                log.info(f"Wrote distance matrix: {f_dist.name}")
+                log.info(f"Wrote embeddings: {f_emb.name}")
+                log.info(f"\n==> Computation is completed for subtree {c}!\n")
+                hrs, m, s = hms(time.time() - since)
+                log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+
+        try:
+            for c in clades:
+                contig_ids = [g for g, cl in assignments if cl == c]
+                if not contig_ids:
+                    continue
+                log.info(
+                    f"\n==> Working on subtree {c} ({len(contig_ids)} contigs)...\n"
                 )
-                emb_names, emb_dev = cached_embeddings(
-                    os.path.join(model_dir, f"embeddings_subtree_{c}.csv")
+
+                # device-resident LRU: the ~76 MB subtree model and the
+                # anchor matrix transfer once per process, not once per call
+                # (the round-3 e2e regression was exactly this retransfer:
+                # ~5.8 s of a 9.1 s serve was params crossing a 37 MB/s link)
+                with phases.phase("model_load"):
+                    model_name, meta, params = cached_checkpoint(
+                        os.path.join(model_dir, f"model_subtree_{c}.ckpt")
+                    )
+                    emb_names, emb_dev = cached_embeddings(
+                        os.path.join(model_dir, f"embeddings_subtree_{c}.csv")
+                    )
+
+                if model_name == "NeuralNetFSW":
+                    from ..train.checkpoint import fsw_k_from_meta
+
+                    k = fsw_k_from_meta(meta)
+                    qstep = _QSTEP_FSW
+                    loader = _npy_block_loader(features_folder, k)
+                else:
+                    qstep = _QSTEP_DENSE
+                    loader = (
+                        _kf_gather_loader(qmat)
+                        if qmat is not None
+                        else _kf_block_loader(features_folder)
+                    )
+
+                dist_path = os.path.join(
+                    output_dir, f"apples_input_di_mtrx_subtree_{c}.csv"
                 )
-
-            if model_name == "NeuralNetFSW":
-                from ..train.checkpoint import fsw_k_from_meta
-
-                k = fsw_k_from_meta(meta)
-                qstep = _QSTEP_FSW
-                loader = _npy_block_loader(features_folder, k)
-            else:
-                qstep = _QSTEP_DENSE
-                loader = (
-                    _kf_gather_loader(qmat)
-                    if qmat is not None
-                    else _kf_block_loader(features_folder)
-                )
-
-            dist_path = os.path.join(output_dir, f"apples_input_di_mtrx_subtree_{c}.csv")
-            emb_path = os.path.join(output_dir, f"embedding_subtree_{c}.emb")
-            with open(dist_path, "w") as f_dist, open(emb_path, "w") as f_emb:
+                emb_path = os.path.join(output_dir, f"embedding_subtree_{c}.emb")
+                f_dist = open(dist_path, "w")
+                f_emb = open(emb_path, "w")
+                open_files[c] = (f_dist, f_emb)
                 f_dist.write("\t" + "\t".join(emb_names) + "\n")
+                written += [dist_path, emb_path]
 
-                # three-stage pipeline (reference query.py:148-189 runs
-                # read -> forward -> format strictly serially): a background
-                # thread parses block z+1 while the device runs block z, and
-                # block z-1 is formatted/written BETWEEN dispatching z and
-                # fetching z — JAX dispatch is async, so the host text work
-                # overlaps the device forward+cdist instead of serializing
-                def _blocks():
-                    for z in range(0, len(contig_ids), block_size):
+                def _blocks(ids=contig_ids, load=loader):
+                    for z in range(0, len(ids), block_size):
                         with phases.phase("parse"):
-                            blk = loader(contig_ids[z : z + block_size])
+                            blk = load(ids[z : z + block_size])
                         yield blk
 
-                def _write_out(pending):
-                    labels, out_dev, d_dev, real = pending
-                    with phases.phase("fetch"):
-                        outputs = np.asarray(out_dev)[:real]
-                        # crop anchor columns: emb_dev rows are bucket-padded
-                        # (one compiled qstep per bucket, not per subtree)
-                        d = np.asarray(d_dev)[:real, : len(emb_names)]
-                    with phases.phase("format"):
-                        for lbl, drow in zip(labels, d):
-                            f_dist.write(lbl + "\t" + f32_row(drow))
-                        for lbl, erow in zip(labels, outputs):
-                            f_emb.write(lbl + "\t" + f32_row(erow))
-
-                pending = None
-                for names, x in _prefetch_blocks(_blocks()):
+                n_blocks = -(-len(contig_ids) // block_size)
+                for i, (names, x) in enumerate(_prefetch_blocks(_blocks())):
                     real = len(names)
                     nb = bucket_items(real)
                     if nb > real and x.shape[0] == real:
@@ -197,20 +241,34 @@ def query_func(
                             [x, np.zeros((nb - real,) + x.shape[1:], x.dtype)]
                         )
                     with phases.phase("dispatch"):
-                        out_dev, d_dev = qstep(params, x, emb_dev)
+                        fused_dev = qstep(params, x, emb_dev)
+                        # start the D2H copy NOW: by the time this block is
+                        # written (after the next block/clade dispatches) the
+                        # bytes are already host-side, so the fetch RTTs of
+                        # successive blocks overlap instead of serializing
+                        try:
+                            fused_dev.copy_to_host_async()
+                        except (AttributeError, NotImplementedError):
+                            pass  # platform without async D2H: fetch blocks
                     phases.count("dispatches")
                     labels = [remap.get(n, n) for n in names] if remap else names
-                    if pending is not None:
-                        _write_out(pending)
-                    pending = (labels, out_dev, d_dev, real)
-                if pending is not None:
-                    _write_out(pending)
-            written += [dist_path, emb_path]
-            log.info(f"Wrote distance matrix: {dist_path}")
-            log.info(f"Wrote embeddings: {emb_path}")
-            log.info(f"\n==> Computation is completed for subtree {c}!\n")
-            hrs, m, s = hms(time.time() - since)
-            log.info(f"Time: {hrs:02d}:{m:02d}:{s:02d}")
+                    pending.append((
+                        c, labels, fused_dev, real,
+                        int(meta["model_embedding_size"]), emb_names,
+                        i == n_blocks - 1,
+                    ))
+                    if len(pending) > PIPE_DEPTH:
+                        _write_out(pending.popleft())
+            while pending:
+                _write_out(pending.popleft())
+        finally:
+            # error path only (the success path drained above): close any
+            # still-open outputs — the command failed, partial files are
+            # expected, but leaked handles are not
+            for f_dist, f_emb in open_files.values():
+                f_dist.close()
+                f_emb.close()
+            open_files.clear()
 
         log.info("\n==> Computation Completed!\n")
         hrs, m, s = hms(time.time() - since)
