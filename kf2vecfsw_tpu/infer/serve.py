@@ -102,28 +102,75 @@ class ServeDaemon:
 
     def handle_warm(self, req: dict) -> dict:
         """Ship the classifier + every subtree model/anchor set to the device
-        now, so the first placement request doesn't pay the transfers."""
+        now, AND pre-compile the per-block serving programs (classifier
+        forward + fused query step at the small-placement row bucket), so
+        the first placement request pays neither transfers nor the remote
+        compile service (measured 4-42 s of first-request latency on this
+        rig). {"compile": false} skips the pre-compilation."""
+        import numpy as np
+
+        from ..train.step import bucket_items
         from .cache import cache_stats, cached_checkpoint, cached_embeddings
 
         t0 = time.time()
         touched = 0
+        compiled = 0
+        precompile = bool(req.get("compile", True))
+        done_shapes: set = set()
         cls = os.path.join(self.args.classifier_model, "classifier_model.ckpt")
         if os.path.exists(cls):
-            cached_checkpoint(cls)
+            _, meta, params = cached_checkpoint(cls)
             touched += 1
+            if precompile:
+                from .classify import _CLS_FORWARD
+
+                x = np.zeros(
+                    (bucket_items(1, floor=64), int(meta["model_input_size"])),
+                    np.float32,
+                )
+                np.asarray(_CLS_FORWARD(params, x)[:1, :1])
+                compiled += 1
         for ckpt in sorted(
             glob.glob(os.path.join(self.args.distance_model, "model_subtree_*.ckpt"))
         ):
-            cached_checkpoint(ckpt)
+            model_name, meta, params = cached_checkpoint(ckpt)
             touched += 1
             stem = os.path.basename(ckpt)[len("model_subtree_") : -len(".ckpt")]
             emb = os.path.join(self.args.distance_model, f"embeddings_subtree_{stem}.csv")
-            if os.path.exists(emb):
-                cached_embeddings(emb)
+            if not os.path.exists(emb):
+                continue
+            _, emb_dev = cached_embeddings(emb)
+            if not precompile:
+                continue
+            nb = bucket_items(1)  # the many-subtrees x few-queries block shape
+            if model_name == "NeuralNetFSW":
+                from ..kmer.vocab import canonical_vocab_size
+                from ..train.checkpoint import fsw_k_from_meta
+                from .query import _QSTEP_FSW
+
+                k = fsw_k_from_meta(meta)
+                if not (1 <= k <= 9):
+                    continue  # geometric-bucket point sets: shape unknowable here
+                shape_key = ("fsw", k, emb_dev.shape)
+                if shape_key in done_shapes:
+                    continue
+                x = np.zeros((nb, canonical_vocab_size(k), k + 1), np.float32)
+                np.asarray(_QSTEP_FSW(params, x, emb_dev)[:1, :1])
+            else:
+                from .query import _QSTEP_DENSE
+
+                shape_key = ("dense", int(meta["model_input_size"]), emb_dev.shape)
+                if shape_key in done_shapes:
+                    continue
+                x = np.zeros((nb, int(meta["model_input_size"])), np.float32)
+                np.asarray(_QSTEP_DENSE(params, x, emb_dev)[:1, :1])
+            done_shapes.add(shape_key)
+            compiled += 1
         stats = cache_stats()
         return {
             "ok": True,
             "models": touched,
+            "compiled": compiled,
             "seconds": round(time.time() - t0, 3),
             "device_bytes": stats["checkpoints"]["device_bytes"]
             + stats["anchors"]["device_bytes"],
