@@ -212,6 +212,14 @@ def query_func(
                         else _kf_block_loader(features_folder)
                     )
 
+                # embedding width for cropping the fused fetch: prefer the
+                # meta key, but fall back to the fc2 shape — best-effort
+                # torch-shim imports of reference checkpoints may carry only
+                # the keys the reference save dict had (utils.py:358-371)
+                e_dim = int(
+                    meta.get("model_embedding_size")
+                    or params["fc2"]["w"].shape[1]
+                )
                 dist_path = os.path.join(
                     output_dir, f"apples_input_di_mtrx_subtree_{c}.csv"
                 )
@@ -253,8 +261,7 @@ def query_func(
                     phases.count("dispatches")
                     labels = [remap.get(n, n) for n in names] if remap else names
                     pending.append((
-                        c, labels, fused_dev, real,
-                        int(meta["model_embedding_size"]), emb_names,
+                        c, labels, fused_dev, real, e_dim, emb_names,
                         i == n_blocks - 1,
                     ))
                     if len(pending) > PIPE_DEPTH:

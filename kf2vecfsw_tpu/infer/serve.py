@@ -143,6 +143,15 @@ class ServeDaemon:
             if not precompile:
                 continue
             nb = bucket_items(1)  # the many-subtrees x few-queries block shape
+            import jax as _jax
+
+            # jit keys executables on the FULL params pytree shapes (hidden
+            # size, fswout, ...), so the dedup key must too — two models with
+            # equal input/anchor shapes but different hidden sizes still need
+            # separate compiles
+            param_shapes = tuple(
+                tuple(leaf.shape) for leaf in _jax.tree.leaves(params)
+            )
             if model_name == "NeuralNetFSW":
                 from ..kmer.vocab import canonical_vocab_size
                 from ..train.checkpoint import fsw_k_from_meta
@@ -151,7 +160,7 @@ class ServeDaemon:
                 k = fsw_k_from_meta(meta)
                 if not (1 <= k <= 9):
                     continue  # geometric-bucket point sets: shape unknowable here
-                shape_key = ("fsw", k, emb_dev.shape)
+                shape_key = ("fsw", k, emb_dev.shape, param_shapes)
                 if shape_key in done_shapes:
                     continue
                 x = np.zeros((nb, canonical_vocab_size(k), k + 1), np.float32)
@@ -159,7 +168,10 @@ class ServeDaemon:
             else:
                 from .query import _QSTEP_DENSE
 
-                shape_key = ("dense", int(meta["model_input_size"]), emb_dev.shape)
+                shape_key = (
+                    "dense", int(meta["model_input_size"]), emb_dev.shape,
+                    param_shapes,
+                )
                 if shape_key in done_shapes:
                     continue
                 x = np.zeros((nb, int(meta["model_input_size"])), np.float32)
@@ -246,8 +258,20 @@ class ServeDaemon:
         The worker is a daemon thread: a handler wedged inside a runtime
         call (the failure mode this exists for) is abandoned, never joined
         — the loop answers with an error and moves on. Exceptions raised by
-        the handler propagate to the loop's normal per-request handler."""
-        if not self.request_timeout_s:
+        the handler propagate to the loop's normal per-request handler.
+
+        warm gets its own (longer) deadline: pre-compilation legitimately
+        takes minutes on a cold remote compile service, so a placement-scale
+        -request_timeout must not read a healthy warm as wedged
+        (KF2VEC_SERVE_WARM_TIMEOUT_S, default 900, floor'd by the request
+        timeout)."""
+        timeout_s = self.request_timeout_s
+        if timeout_s and handler == self.handle_warm:
+            timeout_s = max(
+                timeout_s,
+                float(os.environ.get("KF2VEC_SERVE_WARM_TIMEOUT_S", "900") or 0),
+            )
+        if not timeout_s:
             return handler(req)
         box = {}
         done = threading.Event()
@@ -262,13 +286,13 @@ class ServeDaemon:
 
         t = threading.Thread(target=target, daemon=True, name="serve-request")
         t.start()
-        if not done.wait(self.request_timeout_s):
+        if not done.wait(timeout_s):
             self.timeouts += 1
             return {
                 "ok": False,
                 "timeout": True,
                 "error": (
-                    f"request exceeded {self.request_timeout_s:g}s watchdog "
+                    f"request exceeded {timeout_s:g}s watchdog "
                     "(device stalled?); daemon still serving"
                 ),
             }

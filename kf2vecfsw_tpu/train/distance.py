@@ -382,7 +382,6 @@ def _train_all(
             nb = bucket_items(max(len(train_idx), 1))
             use_lazy = lazy_applicable(
                 nb, fswout_dim, train_feats.shape[1],
-                double_buffered=lazy_refresh < -(-nb // batch_size),
                 n_model=int(mesh.shape[MODEL_AXIS]),
             )
             if not use_lazy:

@@ -7,6 +7,14 @@ their parse / host->device transfer / device fetch / text-format sections in
 parts must sum to ~the e2e wall clock. Zero overhead when no collector is
 active (module-level None check). Thread-safe: the prefetch thread parses
 blocks while the main thread formats.
+
+Generation safety: a phase() CAPTURES the collector active at its entry and
+writes to that object at exit, and collect() only clears the global if it is
+still its own dict. A handler thread abandoned by the serve watchdog mid-
+phase can therefore finish arbitrarily late without (a) writing its timings
+into the NEXT request's collector, (b) nulling that collector, or (c)
+mutating a dict another thread is iterating — the late write lands on the
+stale request's own dict, which nobody reads.
 """
 
 from __future__ import annotations
@@ -32,12 +40,14 @@ def collect():
         yield stats
     finally:
         with _lock:
-            _active = None
+            if _active is stats:  # an abandoned thread must not null a
+                _active = None  # NEWER request's collector
 
 
 @contextmanager
 def phase(name: str):
-    if _active is None:
+    sink = _active  # capture THIS phase's collector (generation safety)
+    if sink is None:
         yield
         return
     t0 = time.perf_counter()
@@ -46,13 +56,13 @@ def phase(name: str):
     finally:
         dt = time.perf_counter() - t0
         with _lock:
-            if _active is not None:
-                _active[name] = _active.get(name, 0.0) + dt
+            sink[name] = sink.get(name, 0.0) + dt
 
 
 def count(name: str, n: int = 1) -> None:
-    if _active is None:
+    sink = _active
+    if sink is None:
         return
     with _lock:
-        if _active is not None:
-            _active[name] = _active.get(name, 0.0) + n
+        sink[name] = sink.get(name, 0.0) + n
+
