@@ -260,3 +260,34 @@ def test_serve_watchdog_env_knob_and_errors_propagate(tmp_path, monkeypatch):
     assert err["ok"] is False and "bad input dir" in err["error"]
     assert "timeout" not in err
     assert pong["pong"] is True
+
+
+def test_serve_warm_gets_longer_watchdog_floor(tmp_path, monkeypatch):
+    """warm legitimately runs long (pre-compilation on a cold remote compile
+    service); a placement-scale -request_timeout must not kill it — it gets
+    the KF2VEC_SERVE_WARM_TIMEOUT_S floor instead."""
+    import time as _time
+
+    clear_all()
+    lib = str(tmp_path / "lib")
+    _mk_library(lib)
+
+    def slow_warm(self, req):
+        _time.sleep(0.5)
+        return {"ok": True, "models": 0, "compiled": 0, "seconds": 0.5,
+                "device_bytes": 0}
+
+    monkeypatch.setattr(ServeDaemon, "handle_warm", slow_warm)
+    monkeypatch.setattr(
+        ServeDaemon, "handle_place", lambda self, req: _time.sleep(0.5)
+    )
+    monkeypatch.setenv("KF2VEC_SERVE_WARM_TIMEOUT_S", "5")
+    daemon = ServeDaemon(_serve_args(lib, request_timeout=0.2))
+    resps = _run_requests(daemon, [
+        {"cmd": "warm"},
+        {"cmd": "place", "input_dir": "x", "output_dir": "y"},
+        {"cmd": "quit"},
+    ])
+    ready, warm, place, bye = resps
+    assert warm["ok"] is True  # 0.5 s warm survives the 0.2 s request timeout
+    assert place["ok"] is False and place.get("timeout") is True  # places don't
