@@ -379,22 +379,39 @@ def fsw_lazy_refresh(fsw_params, points, digits, W, group: int = 8):
     wn = W / total  # (n, V)
     p = slices @ points.T  # (C, V)
     keys = _f2i_keys(p)
-    iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
     # one-hot digit-class matrix (V, k*4): delta_orig @ D segment-sums the
     # coefficients per (position, base) class on the MXU
     onehot = (digits[:, :, None] == jnp.arange(4, dtype=digits.dtype)).astype(
         jnp.float32
     ).reshape(V, k * 4)
 
+    # D_perm fast path: the permutation is IDENTICAL across groups (the keys
+    # don't depend on the weights), so pre-permute the digit matrix ONCE —
+    # S[g,c,:] = sum_j delta_sorted[g,c,j] * D[perm[c,j],:] — and each
+    # group's S becomes one MXU contraction of the SORTED delta against
+    # D_perm. This drops the iota operand from every group sort AND the
+    # whole (1+G)-operand unsort (~45% of the refresh's sort traffic,
+    # measured: R=128 default-lazy 199 -> ~280 steps/s at the flagship
+    # shape). Gated by D_perm's (C_local, V, 4k) f32 footprint — at k=9 it
+    # would be ~10 GB, so giant vocabs keep the unsort path.
+    dperm_bytes = int(p.shape[0]) * V * (k * 4) * 4
+    use_dperm = dperm_bytes <= _dperm_budget_bytes()
+    if use_dperm:
+        iota0 = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+        _, perm = jax.lax.sort((keys, iota0), dimension=-1, is_stable=False, num_keys=1)
+        d_perm = onehot[perm]  # (C, V, k*4)
+
     def group_fn(wg):  # (G, V) -> ((G, C, k, 4), (G, C))
         g = wg.shape[0]
         ops = (keys,) + tuple(
             jnp.broadcast_to(wg[i][None, :], p.shape) for i in range(g)
-        ) + (iota,)
+        )
+        if not use_dperm:
+            iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+            ops = ops + (iota,)
         res = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
         ps = _i2f_keys(res[0])  # (C, V) sorted projections
-        wsb = jnp.stack(res[1:-1])  # (G, C, V) sorted weights
-        perm = res[-1]
+        wsb = jnp.stack(res[1 : g + 1])  # (G, C, V) sorted weights
 
         def delta_of_xi(xi):
             cs = _cumsum_minor_matmul(wsb)
@@ -404,17 +421,27 @@ def fsw_lazy_refresh(fsw_params, points, digits, W, group: int = 8):
 
         delta, gdelta = jax.jvp(delta_of_xi, (freqs,), (jnp.ones_like(freqs),))
         g2 = jnp.sum(ps[None] * gdelta, axis=-1)  # (G, C), sorted order
+        # HIGHEST precision everywhere below — bf16 mantissas over up-to-V
+        # cancelling terms would break the refresh_steps=1 == exact contract
+        if use_dperm:
+            # S from SORTED delta via the pre-permuted digit matrix (ties
+            # between the shared perm and this sort are measure-zero on f32
+            # projections — the same assumption _sort_pw documents)
+            s = jnp.einsum(
+                "gcj,cjm->gcm", delta, d_perm,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return s, g2
+        perm_g = res[-1]
         # unsort delta to original vocab order: sort (perm, rows...) by the
         # unique int keys; operands ride the inverse permutation
         res2 = jax.lax.sort(
-            (perm,) + tuple(delta[i] for i in range(g)),
+            (perm_g,) + tuple(delta[i] for i in range(g)),
             dimension=-1,
             is_stable=False,
             num_keys=1,
         )
-        delta_orig = jnp.stack(res2[1:])  # (G, C, V), consumed immediately:
-        # HIGHEST precision — bf16 mantissas over up-to-V cancelling terms
-        # would break the refresh_steps=1 == exact-shared-path contract
+        delta_orig = jnp.stack(res2[1:])  # (G, C, V), consumed immediately
         s = jax.lax.dot_general(
             delta_orig, onehot, (((2,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -427,6 +454,15 @@ def fsw_lazy_refresh(fsw_params, points, digits, W, group: int = 8):
         s, g2 = jax.lax.map(group_fn, wn.reshape(n // group, group, V))
     C = slices.shape[0]
     return s.reshape(n, C, k, 4), g2.reshape(n, C)
+
+
+def _dperm_budget_bytes() -> int:
+    """Budget for the refresh's resident pre-permuted digit matrix: 1/8 of
+    per-device HBM (~2 GiB on a 16 GiB v5e — admits k<=7 at C=512 local;
+    sharding slice rows over the model axis admits larger k)."""
+    from ..utils.membudget import hbm_fraction
+
+    return hbm_fraction(1, 8)
 
 
 def fsw_lazy_refresh_pergenome(fsw_params, lookup, X, group: int = 4):

@@ -544,3 +544,25 @@ def test_pergenome_lazy_trainer_cli_surface(tmp_path):
     )
     emb = fswmod.fsw_dist_embed_apply(jax.device_put(params), jnp.asarray(X[None]))
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_refresh_dperm_and_unsort_paths_agree(monkeypatch):
+    """The refresh has two internal forms — D_perm contraction (small
+    vocabs) and the per-group unsort (giant vocabs, gated by HBM budget).
+    Both must produce the same (S, g2)."""
+    W, params, V = _setup(seed=6)
+    digits = fswmod._vocab_digits_dev(K)
+    points = params["lookup"][digits].reshape(V, -1)
+
+    s_fast, g_fast = fswmod.fsw_lazy_refresh(
+        params["fsw"], points, digits, W, group=4
+    )
+    monkeypatch.setenv("KF2VEC_HBM_BYTES", "1024")  # forces the unsort path
+    assert fswmod._dperm_budget_bytes() == 128
+    s_slow, g_slow = jax.jit(
+        lambda fp, pts, Wx: fswmod.fsw_lazy_refresh(fp, pts, digits, Wx, group=4)
+    )(params["fsw"], points, W)
+    assert np.allclose(np.asarray(s_fast), np.asarray(s_slow), atol=1e-5), (
+        np.abs(np.asarray(s_fast) - np.asarray(s_slow)).max()
+    )
+    assert np.allclose(np.asarray(g_fast), np.asarray(g_slow), atol=1e-5)
