@@ -566,3 +566,62 @@ def test_refresh_dperm_and_unsort_paths_agree(monkeypatch):
         np.abs(np.asarray(s_fast) - np.asarray(s_slow)).max()
     )
     assert np.allclose(np.asarray(g_fast), np.asarray(g_slow), atol=1e-5)
+
+
+def test_pergenome_lazy_trainer_at_k11(tmp_path):
+    """k > 9: the shared-vocab gate is off by vocab size (V=2M > 1<<18), so
+    FSW training at k=11 must run the per-genome lazy runner — the regime
+    the round-5 extension exists for. The canonical vocab matrix is never
+    materialized on this path (it would be ~92 MB of digits)."""
+    import os
+
+    from kf2vecfsw_tpu.models.fsw import shared_vocab_applicable
+    from kf2vecfsw_tpu.train.checkpoint import load_checkpoint
+    from kf2vecfsw_tpu.train.distance import train_model_set_func
+    from kf2vecfsw_tpu.tree.distance import write_di_mtrx
+
+    k = 11
+    assert not shared_vocab_applicable(k, 10**6, 4)
+
+    rng = np.random.default_rng(1)
+    n = 6
+    names = [f"g{i}" for i in range(n)]
+    feat_dir = tmp_path / "feats"
+    out_dir = tmp_path / "models"
+    dist_dir = tmp_path / "dist"
+    for d in (feat_dir, out_dir, dist_dir):
+        os.makedirs(d)
+    files = []
+    for nm in names:
+        n_pts = int(rng.integers(8, 17))
+        mat = np.concatenate(
+            [
+                rng.integers(0, 4, size=(n_pts, k)).astype(np.float32),
+                rng.random((n_pts, 1)).astype(np.float32),
+            ],
+            axis=1,
+        )
+        p = str(feat_dir / f"{nm}_k{k}.npy")
+        np.save(p, mat)
+        files.append(p)
+    with open(tmp_path / "subtrees.csv", "w") as f:
+        for nm in names:
+            f.write(f"{nm}\t0\n")
+    d = np.abs(rng.normal(size=(n, n)))
+    d = d + d.T
+    np.fill_diagonal(d, 0.0)
+    write_di_mtrx(str(dist_dir / "true_distance_matrix_subtree_0.di_mtrx"), names, d)
+
+    saved = train_model_set_func(
+        str(feat_dir), files, str(tmp_path / "subtrees.csv"), str(dist_dir),
+        num_epochs=4, hidden_size=16, embedding_size=8, batch_size=4,
+        lr0=1e-3, lr_min=1e-4, lr_decay=2000.0, clades_to_train=None, seed=1,
+        model_filepath=str(out_dir), base_dim=2, fswout_dim=24,
+        fsw_lazy_refresh=2,
+    )
+    assert saved and os.path.exists(saved[0])
+    name, meta, params = load_checkpoint(saved[0])
+    assert name == "NeuralNetFSW" and meta["fsw_k"] == k
+    logs = [f for f in os.listdir(out_dir) if f.endswith(".log")]
+    text = "".join(open(os.path.join(out_dir, f)).read() for f in logs)
+    assert "per-genome sort orders" in text
